@@ -1,0 +1,104 @@
+"""Headline benchmark: video frames/sec/chip for the DDIM video sampler.
+
+Measures the compute-dominant path of the pipeline — the 100-step DDIM chain
+of the 3D video diffusion U-Net at the real Libero configuration (128 base
+channels, mult 1-2-3-4-5, attention at ds 8/16, 7 future frames, 128x128;
+reference `diffuser/libero/lb_video_model_utils.py:41-52`) — batched over the
+8 exploration tasks as `OnlineTrainer.video_guided_explore` issues it.
+
+The reference samples these videos one at a time (batch 1) on an A100 under
+fp16 autocast (`diffuser/libero/lb_online_trainer_v7.py:871-891`). The repo
+publishes no throughput numbers (BASELINE.md), so `vs_baseline` is computed
+against an ESTIMATED A100 reference of 4.7 frames/s (one 7-frame video per
+~1.5 s at batch 1, 100 steps) — the BASELINE.json north star is >=5x this.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from v2a_tpu.models.video_unet import VideoUNet
+from v2a_tpu.ops.gaussian_diffusion import GaussianDiffusion
+from v2a_tpu.ops.schedules import DiffusionSchedule
+
+A100_REFERENCE_FRAMES_PER_S = 4.7  # estimate; see module docstring
+
+BATCH = 8          # the 8 Libero exploration tasks, one video each
+FRAMES = 7         # video_future_horizon (video_model.py:34)
+H = W = 128
+STEPS = 100        # sampling_timesteps (config/libero/lb_tk8_65to72.py:43)
+TOKENS = 16        # typical CLIP task-string length
+
+
+def main():
+    on_tpu = jax.devices()[0].platform != "cpu"
+    # CPU smoke: tiny model + 2 steps, still the full code path
+    steps = STEPS if on_tpu else 2
+    batch = BATCH if on_tpu else 1
+    mc = 128 if on_tpu else 32
+    hw = H if on_tpu else 32
+
+    unet = VideoUNet(
+        in_channels=6, model_channels=mc, out_channels=3, num_res_blocks=2,
+        attention_resolutions=(8, 16), channel_mult=(1, 2, 3, 4, 5),
+        num_head_channels=32, task_token_dim=512,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
+    x_probe = jnp.zeros((1, FRAMES, hw, hw, 6))
+    shapes = jax.eval_shape(
+        lambda r: unet.init(
+            r, x_probe, jnp.zeros((1,), jnp.int32), jnp.zeros((1, TOKENS, 512))
+        ),
+        jax.random.PRNGKey(0),
+    )
+    rngs = iter(jax.random.split(jax.random.PRNGKey(0), 10_000))
+    params = jax.tree_util.tree_map(
+        lambda s: (jax.random.normal(next(rngs), s.shape, s.dtype) * 0.02),
+        shapes,
+    )
+
+    diffusion = GaussianDiffusion(
+        schedule=DiffusionSchedule.create(100, "cosine"),
+        objective="pred_v", sampling_timesteps=steps,
+    )
+
+    @jax.jit
+    def sample(params, rng, x_cond, task_embed):
+        return diffusion.sample(
+            lambda x, t, e: unet.apply(params, x, t, e),
+            rng, (batch, FRAMES, hw, hw, 3), x_cond, task_embed,
+        )
+
+    rng = jax.random.PRNGKey(42)
+    x_cond = jax.random.uniform(rng, (batch, 1, hw, hw, 3)) * 2.0 - 1.0
+    task_embed = jax.random.normal(rng, (batch, TOKENS, 512)) * 0.1
+
+    # warmup / compile
+    jax.block_until_ready(sample(params, rng, x_cond, task_embed))
+
+    n_iters = 3 if on_tpu else 1
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = sample(params, jax.random.fold_in(rng, i), x_cond, task_embed)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    frames_per_s = batch * FRAMES / dt
+    # normalize smoke runs to the full 100-step cost
+    frames_per_s *= steps / STEPS
+
+    print(json.dumps({
+        "metric": "video_frames_per_sec_per_chip_ddim100",
+        "value": round(float(frames_per_s), 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(float(frames_per_s) / A100_REFERENCE_FRAMES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -86,16 +86,24 @@ def test_schedule_tables_consistency():
         1.0,
         atol=1e-6,
     )
-    # posterior mean coefficients must sum appropriately: for x_start = x_t = x,
-    # the posterior mean must be x at every t (stationarity of constants).
+    # posterior mean coefficients: recompute directly from the closed forms
+    acp_prev = np.concatenate([[1.0], acp[:-1]])
     np.testing.assert_allclose(
-        sched.posterior_mean_coef1 + sched.posterior_mean_coef2,
-        np.ones(100),
-        atol=2e-5,
+        sched.posterior_mean_coef1,
+        betas * np.sqrt(acp_prev) / (1 - acp),
+        rtol=2e-4,
+    )
+    np.testing.assert_allclose(
+        sched.posterior_mean_coef2,
+        (1 - acp_prev) * np.sqrt(1 - betas) / (1 - acp),
+        rtol=2e-4,
+    )
+    np.testing.assert_allclose(
+        sched.posterior_variance, betas * (1 - acp_prev) / (1 - acp), rtol=2e-4
     )
     # SNR identity
     np.testing.assert_allclose(
-        sched.snr, sched.alphas_cumprod / (1 - sched.alphas_cumprod), rtol=1e-5
+        sched.snr, sched.alphas_cumprod / (1 - sched.alphas_cumprod), rtol=1e-4
     )
 
 

@@ -1,0 +1,177 @@
+"""Integration tests for the online trainer on the fake env backend —
+the reference's "luotest" fast-config strategy (SURVEY §4.2) turned into a
+real hermetic test: tiny shapes, tiny budgets, full loop."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from v2a_tpu.data.h5_ingest import write_randsam_file
+from v2a_tpu.envs.fake import FakeEnvList
+from v2a_tpu.models.policy import DiffusionPolicy, PolicyConfig
+from v2a_tpu.train.trainer import (
+    ExploreThrottle,
+    IterTypeScheduler,
+    OnlineTrainer,
+    TrainerConfig,
+)
+from v2a_tpu.train.train_state import EMAConfig, ema_decay
+
+
+class FakeVideoModel:
+    """Deterministic stand-in for the frozen video diffusion model: returns
+    F slightly-shifted copies of the first frame."""
+
+    def __init__(self, horizon=3):
+        self.horizon = horizon
+
+    def sample(self, rng, imgs01, tasks):
+        b = imgs01.shape[0]
+        frames = []
+        for f in range(self.horizon):
+            frames.append(np.clip(imgs01 + 0.01 * (f + 1), 0, 1))
+        return np.stack(frames, axis=1)
+
+
+def small_trainer(tmp_path, with_video=True, with_h5=True, **cfg_kw):
+    envs = FakeEnvList(num_tasks=2, img_hw=(32, 32))
+    h5path = str(tmp_path / "randsam.hdf5")
+    if with_h5:
+        eps = {}
+        rs = np.random.RandomState(0)
+        for tk in envs.task_list:
+            task_eps = []
+            for k in range(4):
+                T = 40
+                imgs = rs.randint(0, 255, (T + 1, 32, 32, 3), dtype=np.uint8)
+                acts = rs.uniform(-1, 1, (T, 7)).astype(np.float32)
+                task_eps.append((imgs, acts))
+            eps[tk] = task_eps
+        write_randsam_file(h5path, eps, read_only=False)
+
+    policy = DiffusionPolicy.create(
+        PolicyConfig(
+            image_size=(32, 32), down_dims=(32, 64), horizon=16,
+            n_action_steps=8, num_train_timesteps=10,
+            num_inference_steps=10, num_inference_steps_ddim=2,
+        )
+    )
+    cfg = TrainerConfig(
+        num_init_rand_ep_per_tk=2,
+        max_episodes_rand=20, max_episodes_vid=10,
+        min_len_uB=10, init_rand_steps=3,
+        rand_cycle_steps=2, vid_cycle_steps=3,
+        video_explo_freq=4, rand_explo_freq=6,
+        rand_explo_num_ep_per_tk=1,
+        buf_sample_batch_size=8,
+        n_train_steps=10, save_freq=5, log_freq=2,
+        randsam_path=h5path if with_h5 else "",
+        h5_total_num_ep_per_task=4,
+        **cfg_kw,
+    )
+    video_model = FakeVideoModel() if with_video else None
+    return OnlineTrainer(
+        policy, envs, cfg, str(tmp_path / "workdir"),
+        video_model=video_model, seed=0,
+    )
+
+
+def test_iter_type_scheduler_phases():
+    cfg = TrainerConfig(init_rand_steps=5, rand_cycle_steps=2, vid_cycle_steps=3)
+    sched = IterTypeScheduler(cfg)
+    phases = []
+    for step in range(20):
+        sched.update(step)
+        sched.count()
+        phases.append(sched.iter_type)
+    # pure rand during init phase
+    assert phases[:5] == ["rand-bias"] * 5
+    # afterwards alternates 2 rand / 3 vid
+    assert "vid-bias" in phases[5:]
+    # find the first vid-bias run and check cycle lengths
+    post = phases[6:]
+    runs = []
+    cur, cnt = post[0], 0
+    for p in post:
+        if p == cur:
+            cnt += 1
+        else:
+            runs.append((cur, cnt))
+            cur, cnt = p, 1
+    runs.append((cur, cnt))
+    for phase, length in runs[1:-1]:  # interior runs have exact lengths
+        assert length == (2 if phase == "rand-bias" else 3)
+
+
+def test_explore_throttle_alternation():
+    cfg = TrainerConfig(
+        enable_noExp=True, noExp_start_buf_len_rand=1,
+        noExp_start_buf_len_vid=10**9, Exp_noExp_rand=(3, 2),
+    )
+    th = ExploreThrottle(cfg)
+    states = []
+    for _ in range(12):
+        th.update(len_rand=5, len_vid=0)
+        states.append(th.explo_type_rand)
+    # 3 explo, then 2 no-explo, then repeat (counters update on entry)
+    assert states == [
+        "explo", "explo", "no-explo", "no-explo", "explo",
+        "explo", "explo", "no-explo", "no-explo", "explo",
+        "explo", "explo",
+    ]
+
+
+def test_ema_decay_schedule():
+    cfg = EMAConfig(update_after_step=0, inv_gamma=1.0, power=0.75)
+    import jax.numpy as jnp
+
+    assert float(ema_decay(jnp.asarray(0), cfg)) == 0.0
+    d10 = float(ema_decay(jnp.asarray(10), cfg))
+    d100 = float(ema_decay(jnp.asarray(100), cfg))
+    assert 0 < d10 < d100 < 0.9999
+    np.testing.assert_allclose(d10, 1 - (1 + 9) ** -0.75, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_full_online_loop(tmp_path):
+    """The end-to-end slice: H5 ingest -> train steps -> video exploration ->
+    mixed-buffer sampling -> checkpoint."""
+    trainer = small_trainer(tmp_path)
+    trainer.train()
+    assert trainer.step == 10
+    # video exploration ran (steps 4 and 8 qualify, both > init_rand_steps=3)
+    assert trainer.cnt_vid_rollouts >= 2
+    assert len(trainer.envBuf_vid) >= 2
+    assert trainer.num_steps_in_env > 0
+    # checkpoints exist
+    from v2a_tpu.train.checkpoint import available_labels
+
+    assert len(available_labels(trainer.workdir)) >= 1
+    # metrics written
+    assert os.path.exists(os.path.join(trainer.workdir, "metrics.jsonl"))
+    # env lifecycle invariant held
+    trainer.envs.check_no_envs_exist()
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_roundtrip(tmp_path):
+    trainer = small_trainer(tmp_path, with_video=False)
+    trainer.train(n_steps=4)
+    trainer.save()
+    step0 = trainer.step
+    envsteps0 = trainer.num_steps_in_env
+    params0 = jax.tree_util.tree_leaves(trainer.state.params)[0]
+
+    trainer2 = small_trainer(tmp_path, with_video=False)
+    trainer2.load()
+    assert trainer2.step == step0
+    assert trainer2.num_steps_in_env == envsteps0
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(trainer2.state.params)[0]),
+        np.asarray(params0),
+    )
+    # training continues from the restored step
+    trainer2.train(n_steps=step0 + 2)
+    assert trainer2.step == step0 + 2

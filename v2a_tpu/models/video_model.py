@@ -1,0 +1,207 @@
+"""Frozen video-prediction model: CLIP text encode -> diffusion sample.
+
+Re-design of `Video_PredModel` (`diffuser/models/video_model.py:9-85`) and
+its factory `lb_get_video_model_gcp_v2`
+(`diffuser/libero/lb_video_model_utils.py:13-66`). Key TPU-first changes:
+
+- the entire sampler (text encode + 100-step denoise chain) is ONE jitted
+  function per (batch, token-length) shape; the denoise loop is a
+  `lax.scan` (see `ops/gaussian_diffusion.py`),
+- video tensors are (B, F, H, W, 3) channels-last; the stacked-channel
+  (B, 3*F, H, W) detour of the torch pipeline (`unet.py:211-222`) never
+  materializes — the U-Net consumes video-form tensors directly with the
+  conditioning frame tiled over F on the channel axis,
+- batch the tasks: the reference samples one video at a time during
+  exploration (`lb_online_trainer_v7.py:871-877`); `sample()` here takes
+  the whole task batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from v2a_tpu.models.clip_text import (
+    ClipTextEncoder,
+    ClipTokenizerWrapper,
+    sanitize_task_strings,
+)
+from v2a_tpu.models.video_unet import VideoUNet
+from v2a_tpu.ops.gaussian_diffusion import GaussianDiffusion
+from v2a_tpu.ops.schedules import DiffusionSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoModelConfig:
+    """The factory surface of `lb_get_video_model_gcp_v2`
+    (`lb_video_model_utils.py:13-52`) + `vid_diffusion` config
+    (`config/libero/lb_tk8_65to72.py:40-47`)."""
+
+    image_size: Tuple[int, int] = (128, 128)
+    sample_per_seq: int = 8  # frames incl. the conditioning frame
+    channels: int = 3
+    timesteps: int = 100
+    sampling_timesteps: int = 100
+    objective: str = "pred_v"
+    beta_schedule: str = "cosine"
+    loss_type: str = "l2"
+    min_snr_loss_weight: bool = True
+    guidance_weight: float = 0.0
+    var_temp: float = 1.0
+    model_channels: int = 128
+    channel_mult: Tuple[int, ...] = (1, 2, 3, 4, 5)
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (8, 16)
+    num_head_channels: int = 32
+    text_dim: int = 512
+    dtype: str = "float32"
+
+    @property
+    def video_future_horizon(self) -> int:
+        # channels/3 in the stacked formulation (`video_model.py:34`)
+        return self.sample_per_seq - 1
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+class VideoPredModel:
+    """Holds the U-Net + text encoder modules and frozen params; exposes
+    jitted `sample` and (for video-model finetuning parity) `loss`."""
+
+    def __init__(
+        self,
+        config: Optional[VideoModelConfig] = None,
+        tokenizer: Optional[ClipTokenizerWrapper] = None,
+        var_temp: Optional[float] = None,
+        sampling_timesteps: Optional[int] = None,
+    ):
+        self.config = config or VideoModelConfig()
+        if var_temp is not None:
+            self.config = dataclasses.replace(self.config, var_temp=var_temp)
+        if sampling_timesteps is not None:
+            self.config = dataclasses.replace(
+                self.config, sampling_timesteps=sampling_timesteps
+            )
+        cfg = self.config
+
+        self.unet = VideoUNet(
+            in_channels=2 * cfg.channels,
+            model_channels=cfg.model_channels,
+            out_channels=cfg.channels,
+            num_res_blocks=cfg.num_res_blocks,
+            attention_resolutions=tuple(cfg.attention_resolutions),
+            channel_mult=tuple(cfg.channel_mult),
+            num_head_channels=cfg.num_head_channels,
+            task_token_dim=cfg.text_dim,
+            dtype=cfg.compute_dtype,
+        )
+        self.text_encoder = ClipTextEncoder(dtype=cfg.compute_dtype)
+        self.tokenizer = tokenizer or ClipTokenizerWrapper()
+
+        self.diffusion = GaussianDiffusion(
+            schedule=DiffusionSchedule.create(cfg.timesteps, cfg.beta_schedule),
+            objective=cfg.objective,
+            sampling_timesteps=cfg.sampling_timesteps,
+            guidance_weight=cfg.guidance_weight,
+            var_temp=cfg.var_temp,
+            loss_type=cfg.loss_type,
+            min_snr_loss_weight=cfg.min_snr_loss_weight,
+        )
+        self.params: Any = None  # {'unet': ..., 'text': ...}
+
+    # -- init / parameters -------------------------------------------------
+
+    def init(self, rng: jax.Array) -> Any:
+        cfg = self.config
+        h, w = cfg.image_size
+        f = cfg.video_future_horizon
+        rng_u, rng_t = jax.random.split(rng)
+        unet_params = self.unet.init(
+            rng_u,
+            jnp.zeros((1, f, h, w, 2 * cfg.channels)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 4, cfg.text_dim)),
+        )
+        text_params = self.text_encoder.init(
+            rng_t, jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32)
+        )
+        self.params = {"unet": unet_params, "text": text_params}
+        return self.params
+
+    # -- text --------------------------------------------------------------
+
+    def encode_batch_text(self, params, tasks: List[str]) -> jax.Array:
+        """CLIP last_hidden_state for sanitized task strings
+        (`video_model.py:49-53,63-66`)."""
+        tasks = sanitize_task_strings(tasks)
+        input_ids, mask = self.tokenizer(tasks)
+        return self._encode_text_jit(
+            params["text"], jnp.asarray(input_ids), jnp.asarray(mask)
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _encode_text_jit(self, text_params, input_ids, mask):
+        return self.text_encoder.apply(text_params, input_ids, mask)
+
+    # -- sampling ----------------------------------------------------------
+
+    def _model_fn(self, unet_params):
+        def fn(x, t, task_embed):
+            return self.unet.apply(unet_params, x, t, task_embed)
+
+        return fn
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _sample_jit(self, params, rng, x_cond, batch_size, task_embed):
+        cfg = self.config
+        h, w = cfg.image_size
+        shape = (batch_size, cfg.video_future_horizon, h, w, cfg.channels)
+        # diffusion works in [-1, 1]; condition frame likewise
+        x_cond_n = (x_cond * 2.0 - 1.0)[:, None]  # (B, 1, H, W, 3)
+        return self.diffusion.sample(
+            self._model_fn(params["unet"]), rng, shape, x_cond_n, task_embed
+        )
+
+    def sample(
+        self, rng: jax.Array, x_conds: np.ndarray, tasks: List[str]
+    ) -> jax.Array:
+        """x_conds float [0,1] (B, H, W, 3); returns (B, F, H, W, 3) in
+        [0, 1] (`GoalGaussianDiffusion.sample` clamps —
+        `goal_diffusion.py:644-650`)."""
+        if self.params is None:
+            raise RuntimeError("call init() or load converted params first")
+        if x_conds.shape[0] != len(tasks):
+            raise ValueError("batch size mismatch between frames and tasks")
+        task_embed = self.encode_batch_text(self.params, tasks)
+        return self._sample_jit(
+            self.params, rng, jnp.asarray(x_conds), x_conds.shape[0], task_embed
+        )
+
+    # -- training loss (video-model finetuning parity;
+    #    `goal_diffusion.py:690-733`) --------------------------------------
+
+    def loss(
+        self,
+        params,
+        rng: jax.Array,
+        video01: jax.Array,  # (B, F, H, W, 3) target frames in [0,1]
+        x_cond01: jax.Array,  # (B, H, W, 3)
+        task_embed: jax.Array,
+    ) -> jax.Array:
+        x_cond_n = (x_cond01 * 2.0 - 1.0)[:, None]
+        return self.diffusion.p_losses(
+            self._model_fn(params["unet"]), rng, video01, x_cond_n, task_embed
+        )
+
+    def param_count(self) -> int:
+        return sum(
+            int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(self.params)
+        )

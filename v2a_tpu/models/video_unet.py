@@ -1,0 +1,326 @@
+"""3D video diffusion U-Net (Flax, channels-last).
+
+TPU-native re-design of the guided-diffusion `UNetModel` as configured by
+`Unet_Libero` (`flowdiffusion/flowdiffusion/unet.py:195-222`,
+`flowdiffusion/flowdiffusion/guided_diffusion/guided_diffusion/unet.py:
+404-684`): model_channels=128, channel_mult (1,2,3,4,5), 2 res blocks per
+level, spatial attention at downsample rates 8 and 16, head width 32,
+factorized pseudo-3D convolutions, Perceiver-pooled CLIP text conditioning.
+
+Layout and precision:
+- activations are (B, F, H, W, C) — frames-major channels-last, the native
+  XLA:TPU conv layout; per-frame spatial convs fold F into the batch,
+- temporal mixing is a 3-tap identity-initialized conv over F applied at
+  every pseudo-3D conv (`.../guided_diffusion/nn.py:30-88`; note the
+  reference pads symmetrically, so despite its comment the conv is NOT
+  causal — reproduced faithfully),
+- GroupNorm(32) and softmax run in float32; conv/matmul compute dtype is
+  configurable (bf16 on TPU) matching the reference's GroupNorm32 discipline
+  (`nn.py:26-28`),
+- attention uses the "legacy" head-major QKV layout semantics
+  (`unet.py:332-368`) with the 1/sqrt(sqrt(d)) two-sided scaling.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from v2a_tpu.models.perceiver import PerceiverResampler
+
+
+def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """[cos | sin] ordering with `arange(half)/half` frequencies
+    (`.../guided_diffusion/nn.py:171-189`)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def _group_norm32(x: jax.Array, name: str, num_groups: int = 32) -> jax.Array:
+    """GroupNorm(32) computed in float32 (`nn.py:26-28,160-167`)."""
+    return nn.GroupNorm(num_groups=num_groups, dtype=jnp.float32, name=name)(
+        x.astype(jnp.float32)
+    )
+
+
+class PseudoConv3d(nn.Module):
+    """Factorized space-time conv (`nn.py:30-88`): 2D spatial conv per frame
+    followed by a temporal conv over F (identity/dirac init, zero bias) when
+    kernel_size > 1. `zero_init` zeroes the spatial conv (the guided-
+    diffusion `zero_module` pattern for output layers)."""
+
+    features: int
+    kernel_size: int = 3
+    spatial_strides: Tuple[int, int] = (1, 1)
+    zero_init: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, f, h, w, c = x.shape
+        k = self.kernel_size
+        kernel_init = (
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal()
+        )
+        y = x.reshape(b * f, h, w, c)
+        y = nn.Conv(
+            self.features, (k, k), strides=self.spatial_strides,
+            padding=k // 2, dtype=self.dtype, kernel_init=kernel_init,
+            name="spatial_conv",
+        )(y)
+        nh, nw = y.shape[1], y.shape[2]
+        y = y.reshape(b, f, nh, nw, self.features)
+        if k > 1:
+            # temporal conv over F: (B, F, H, W, C) -> merge spatial into batch
+            t = y.transpose(0, 2, 3, 1, 4).reshape(b * nh * nw, f, self.features)
+            t = nn.Conv(
+                self.features, (k,), padding=k // 2, dtype=self.dtype,
+                kernel_init=_dirac_init, bias_init=nn.initializers.zeros,
+                name="temporal_conv",
+            )(t)
+            y = t.reshape(b, nh, nw, f, self.features).transpose(0, 3, 1, 2, 4)
+        return y
+
+
+def _dirac_init(key, shape, dtype=jnp.float32):
+    """Identity init for a (k, in, out) temporal conv kernel: center tap is
+    the identity matrix (`nn.py:48-50` nn.init.dirac_)."""
+    k, cin, cout = shape
+    w = jnp.zeros(shape, dtype)
+    eye = jnp.eye(cin, cout, dtype=dtype)
+    return w.at[k // 2].set(eye)
+
+
+class ResBlock3D(nn.Module):
+    """`ResBlock` (`unet.py:148-262`) without up/down fusion (the Libero
+    config uses plain Down/Upsample modules, resblock_updown=False)."""
+
+    out_channels: int
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        c = x.shape[-1]
+        h = _group_norm32(x, "in_norm")
+        h = nn.silu(h).astype(self.dtype)
+        h = PseudoConv3d(self.out_channels, 3, dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = nn.Dense(
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            dtype=self.dtype, name="emb_proj",
+        )(nn.silu(emb.astype(self.dtype)))
+        emb_out = emb_out[:, None, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = _group_norm32(h, "out_norm") * (1 + scale) + shift
+            h = nn.silu(h).astype(self.dtype)
+        else:
+            h = h + emb_out
+            h = nn.silu(_group_norm32(h, "out_norm")).astype(self.dtype)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        # NB: this fork of guided-diffusion does NOT zero-init its output
+        # convs (zero_module is imported but unused in its unet.py)
+        h = PseudoConv3d(
+            self.out_channels, 3, dtype=self.dtype, name="out_conv"
+        )(h)
+
+        if c != self.out_channels:
+            # 1x1 pseudo-3d conv == plain 2D 1x1 (`nn.py:45-46`: no temporal
+            # conv at kernel_size 1)
+            x = PseudoConv3d(
+                self.out_channels, 1, dtype=self.dtype, name="skip_conv"
+            )(x)
+        return x + h
+
+
+class SpatialAttentionBlock(nn.Module):
+    """Per-frame spatial self-attention (`unet.py:263-330`): frames fold
+    into the batch, tokens are the H*W pixels."""
+
+    num_head_channels: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, f, h, w, c = x.shape
+        n_heads = c // self.num_head_channels
+        ch = self.num_head_channels
+
+        y = x.reshape(b * f, h * w, c)
+        y_norm = _group_norm32(y, "norm").astype(self.dtype)
+        qkv = nn.Dense(c * 3, dtype=self.dtype, name="qkv")(y_norm)
+        # legacy layout: reshape to heads then split qkv (`unet.py:346-358`)
+        qkv = qkv.reshape(b * f, h * w, n_heads, 3 * ch)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = 1.0 / math.sqrt(math.sqrt(ch))
+        logits = jnp.einsum(
+            "bthc,bshc->bhts", q * scale, k * scale,
+            preferred_element_type=jnp.float32,
+        )
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        out = jnp.einsum("bhts,bshc->bthc", weights, v)
+        out = out.reshape(b * f, h * w, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj_out")(out)
+        return (y + out).reshape(b, f, h, w, c)
+
+
+class Downsample3D(nn.Module):
+    """Spatial stride-2 pseudo-3D conv (`unet.py:119-145`, stride (1,2,2))."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return PseudoConv3d(
+            self.features, 3, spatial_strides=(2, 2), dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample3D(nn.Module):
+    """Nearest 2x spatial upsample + conv (`unet.py:86-116`)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, f, h, w, c = x.shape
+        x = jax.image.resize(x, (b, f, h * 2, w * 2, c), method="nearest")
+        return PseudoConv3d(self.features, 3, dtype=self.dtype, name="conv")(x)
+
+
+class VideoUNet(nn.Module):
+    """The full model. Input (B, F, H, W, in_channels) where the conditioning
+    frame is already concatenated on channels; output (B, F, H, W,
+    out_channels)."""
+
+    in_channels: int = 6
+    model_channels: int = 128
+    out_channels: int = 3
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (8, 16)
+    channel_mult: Sequence[int] = (1, 2, 3, 4, 5)
+    num_head_channels: int = 32
+    task_token_dim: int = 512
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        task_embed: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        mc = self.model_channels
+        time_embed_dim = mc * 4
+
+        emb = timestep_embedding(timesteps, mc)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_dense0")(
+            emb.astype(self.dtype)
+        )
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_dense1")(
+            nn.silu(emb)
+        )
+
+        if task_embed is not None:
+            # Perceiver pooling + mean over latents (`unet.py:490-494,670-672`)
+            latents = PerceiverResampler(
+                dim=self.task_token_dim, depth=2, dtype=self.dtype,
+                name="task_attnpool",
+            )(task_embed)
+            pooled = nn.Dense(
+                time_embed_dim, dtype=self.dtype, name="task_proj"
+            )(latents).mean(axis=1)
+            emb = emb + pooled
+
+        # -- input blocks
+        hs = []
+        h = PseudoConv3d(mc, 3, dtype=self.dtype, name="in_conv")(
+            x.astype(self.dtype)
+        )
+        hs.append(h)
+        ds = 1
+        block_idx = 0
+        for level, mult in enumerate(self.channel_mult):
+            ch = int(mult * mc)
+            for _ in range(self.num_res_blocks):
+                h = ResBlock3D(
+                    ch, self.dropout, self.use_scale_shift_norm, self.dtype,
+                    name=f"down_res_{block_idx}",
+                )(h, emb, deterministic=deterministic)
+                if ds in self.attention_resolutions:
+                    h = SpatialAttentionBlock(
+                        self.num_head_channels, self.dtype,
+                        name=f"down_attn_{block_idx}",
+                    )(h)
+                hs.append(h)
+                block_idx += 1
+            if level != len(self.channel_mult) - 1:
+                h = Downsample3D(ch, self.dtype, name=f"downsample_{level}")(h)
+                hs.append(h)
+                ds *= 2
+
+        # -- middle
+        mid_ch = int(self.channel_mult[-1] * mc)
+        h = ResBlock3D(
+            mid_ch, self.dropout, self.use_scale_shift_norm, self.dtype,
+            name="mid_res0",
+        )(h, emb, deterministic=deterministic)
+        h = SpatialAttentionBlock(
+            self.num_head_channels, self.dtype, name="mid_attn"
+        )(h)
+        h = ResBlock3D(
+            mid_ch, self.dropout, self.use_scale_shift_norm, self.dtype,
+            name="mid_res1",
+        )(h, emb, deterministic=deterministic)
+
+        # -- output blocks
+        block_idx = 0
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            ch = int(mult * mc)
+            for i in range(self.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = ResBlock3D(
+                    ch, self.dropout, self.use_scale_shift_norm, self.dtype,
+                    name=f"up_res_{block_idx}",
+                )(h, emb, deterministic=deterministic)
+                if ds in self.attention_resolutions:
+                    h = SpatialAttentionBlock(
+                        self.num_head_channels, self.dtype,
+                        name=f"up_attn_{block_idx}",
+                    )(h)
+                if level and i == self.num_res_blocks:
+                    h = Upsample3D(ch, self.dtype, name=f"upsample_{level}")(h)
+                    ds //= 2
+                block_idx += 1
+        assert not hs
+
+        h = nn.silu(_group_norm32(h, "out_norm")).astype(self.dtype)
+        h = PseudoConv3d(
+            self.out_channels, 3, dtype=self.dtype, name="out_conv"
+        )(h)
+        return h.astype(jnp.float32)

@@ -1,0 +1,487 @@
+"""The online trainer: replay-driven policy training interleaved with
+video-guided exploration.
+
+TPU-native re-design of `LB_Online_Trainer_V7`
+(`diffuser/libero/lb_online_trainer_v7.py:29-1347`). The torch original is a
+1.3k-line god-object; here the runtime decomposes into:
+
+- a jitted fused train step (`train/train_state.py`) fed by a host->HBM
+  prefetch pipeline (`parallel/prefetch.py`) — the reference samples and
+  transfers synchronously inside the loop (`:558,586`),
+- host-side iteration/exploration schedulers with the exact reference
+  semantics (rand-bias/vid-bias cycling `:942-970`, explore/no-explore
+  throttling `:432-468`),
+- a `GuidedRolloutExecutor` for the dynamic exploration control flow
+  (`train/explore.py`),
+- Orbax checkpoints with milestone bucketing (`train/checkpoint.py`).
+
+Everything the device touches has static shapes; everything dynamic
+(buffers, env lifecycles, schedules) stays in numpy/Python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from v2a_tpu.data.h5_ingest import add_episodes_to_buffer
+from v2a_tpu.data.replay_buffer import ReplayBuffer, merge_batches
+from v2a_tpu.envs.base import EnvList
+from v2a_tpu.models.policy import DiffusionPolicy
+from v2a_tpu.train import checkpoint as ckpt
+from v2a_tpu.train.explore import ExploreConfig, GuidedRolloutExecutor
+from v2a_tpu.train.metrics import MetricsLogger, Timer
+from v2a_tpu.train.train_state import (
+    EMAConfig,
+    OptimizerConfig,
+    TrainState,
+    make_optimizer,
+    make_train_step,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """The `trainer_dict` surface of the release config
+    (`config/libero/lb_tk8_65to72.py:70-133`) plus loop-level knobs."""
+
+    # buffers
+    num_init_rand_ep_per_tk: int = 50
+    max_episodes_rand: int = 1200
+    max_episodes_vid: int = 600
+    max_len_uB: int = 700
+    min_len_uB: int = 30
+    model_act_horizon: int = 16
+
+    # iteration scheduler
+    init_rand_steps: int = 10000
+    rand_cycle_steps: int = 100
+    vid_cycle_steps: int = 400
+
+    # exploration cadence
+    video_explo_freq: int = 200
+    rand_explo_freq: int = 500
+    rand_explo_num_ep_per_tk: int = 2
+
+    # buffer sampling
+    buf_sample_batch_size: int = 64
+    buf_sample_method: str = "rand_prob"
+    buf_sample_randBuf_prob: float = 0.3
+    buf_sample_ratio_rand: Tuple[float, float] = (0.75, 0.25)
+    buf_sample_ratio_vid: Tuple[float, float] = (0.25, 0.75)
+
+    # explore/no-explore throttle
+    enable_noExp: bool = True
+    noExp_start_buf_len_rand: int = 500
+    noExp_start_buf_len_vid: int = 500
+    Exp_noExp_rand: Tuple[int, int] = (1000, 1000)
+    Exp_noExp_vid: Tuple[int, int] = (1000, 1000)
+
+    # training budget / cadence
+    n_train_steps: int = 200_000
+    gradient_accumulate_every: int = 1
+    save_freq: int = 1000
+    log_freq: int = 100
+    n_saves: int = 5
+    label_freq: Optional[int] = None  # default: n_train_steps // n_saves
+
+    # data
+    randsam_path: str = ""
+    h5_total_num_ep_per_task: int = 500
+    is_stop_at_suc: bool = False
+
+    def resolved_label_freq(self) -> int:
+        return self.label_freq or max(int(self.n_train_steps // self.n_saves), 1)
+
+
+class IterTypeScheduler:
+    """rand-bias/vid-bias two-phase cycle (`update_iter_type`
+    `lb_online_trainer_v7.py:942-970`)."""
+
+    def __init__(self, cfg: TrainerConfig):
+        self.cfg = cfg
+        self.iter_type = "rand-bias"
+        self.rand_iter_cnt = 0
+        self.vid_iter_cnt = 0
+
+    def update(self, step: int) -> str:
+        cfg = self.cfg
+        if step < cfg.init_rand_steps:
+            self.iter_type = "rand-bias"
+        elif step == cfg.init_rand_steps:
+            self.rand_iter_cnt = 0
+        elif self.rand_iter_cnt == cfg.rand_cycle_steps:
+            self.rand_iter_cnt = 0
+            self.iter_type = "vid-bias"
+        elif self.vid_iter_cnt == cfg.vid_cycle_steps:
+            self.vid_iter_cnt = 0
+            self.iter_type = "rand-bias"
+        if cfg.vid_cycle_steps == 0:
+            self.iter_type = "rand-bias"
+        elif cfg.rand_cycle_steps == 0:
+            self.iter_type = "vid-bias"
+        return self.iter_type
+
+    def count(self):
+        if self.iter_type == "rand-bias":
+            self.rand_iter_cnt += 1
+        else:
+            self.vid_iter_cnt += 1
+
+
+class ExploreThrottle:
+    """Explore/no-explore alternation per buffer once it is warm
+    (`update_explo_type` `lb_online_trainer_v7.py:432-468`), bounding the
+    env-step budget."""
+
+    def __init__(self, cfg: TrainerConfig):
+        self.cfg = cfg
+        self.explo_type_rand = "explo"
+        self.explo_type_vid = "explo"
+        self.cnt_exp_rand = self.cnt_no_exp_rand = 0
+        self.cnt_exp_vid = self.cnt_no_exp_vid = 0
+
+    def update(self, len_rand: int, len_vid: int):
+        cfg = self.cfg
+        if not cfg.enable_noExp:
+            return
+        if len_rand >= cfg.noExp_start_buf_len_rand:
+            if self.explo_type_rand == "no-explo":
+                self.cnt_no_exp_rand += 1
+            else:
+                self.cnt_exp_rand += 1
+        if self.cnt_exp_rand == cfg.Exp_noExp_rand[0]:
+            self.cnt_exp_rand = 0
+            self.explo_type_rand = "no-explo"
+        if self.cnt_no_exp_rand == cfg.Exp_noExp_rand[1]:
+            self.cnt_no_exp_rand = 0
+            self.explo_type_rand = "explo"
+
+        if len_vid >= cfg.noExp_start_buf_len_vid:
+            if self.explo_type_vid == "no-explo":
+                self.cnt_no_exp_vid += 1
+            else:
+                self.cnt_exp_vid += 1
+            if self.cnt_exp_vid == cfg.Exp_noExp_vid[0]:
+                self.cnt_exp_vid = 0
+                self.explo_type_vid = "no-explo"
+            if self.cnt_no_exp_vid == cfg.Exp_noExp_vid[1]:
+                self.cnt_no_exp_vid = 0
+                self.explo_type_vid = "explo"
+
+
+class OnlineTrainer:
+    """Owns the buffers, schedulers, train state, and the env list."""
+
+    def __init__(
+        self,
+        policy: DiffusionPolicy,
+        env_list: EnvList,
+        config: TrainerConfig,
+        workdir: str,
+        video_model=None,  # object with .sample(rng, imgs01, tasks) -> (B,F,H,W,3) float01
+        explore_config: Optional[ExploreConfig] = None,
+        opt_config: Optional[OptimizerConfig] = None,
+        ema_config: Optional[EMAConfig] = None,
+        seed: int = 0,
+        act_min: Optional[np.ndarray] = None,
+        act_max: Optional[np.ndarray] = None,
+    ):
+        self.policy = policy
+        self.envs = env_list
+        self.cfg = config
+        self.video_model = video_model
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+
+        self.envBuf_rand = ReplayBuffer(
+            config.max_episodes_rand, config.max_len_uB, config.min_len_uB,
+            sample_act_seq_len=config.model_act_horizon,
+        )
+        self.envBuf_vid = ReplayBuffer(
+            config.max_episodes_vid, config.max_len_uB, config.min_len_uB,
+            sample_act_seq_len=config.model_act_horizon,
+        )
+
+        self.iter_sched = IterTypeScheduler(config)
+        self.throttle = ExploreThrottle(config)
+        self.metrics = MetricsLogger(workdir)
+        self.np_rng = np.random.default_rng(seed)
+        self.rng = jax.random.PRNGKey(seed)
+
+        # device state
+        tx = make_optimizer(opt_config or OptimizerConfig())
+        self.rng, init_rng = jax.random.split(self.rng)
+        params = policy.init(init_rng)
+        self.state = TrainState.create(params, tx)
+        self._train_step = jax.jit(
+            make_train_step(policy.loss, tx, ema_config or EMAConfig()),
+            donate_argnums=(0,),
+        )
+        self._predict_ddim = jax.jit(
+            lambda p, r, obs: policy.predict_action(p, r, obs, use_ddim=True)
+        )
+
+        self.explore_cfg = explore_config or ExploreConfig(
+            n_acts_per_pred=policy.config.n_action_steps,
+            is_stop_at_suc=config.is_stop_at_suc,
+        )
+        self.executor = GuidedRolloutExecutor(
+            env_list, self._ema_policy_fn, self.explore_cfg, self.np_rng
+        )
+
+        self.act_min = (
+            act_min if act_min is not None
+            else np.full(policy.config.action_dim, -1.0, np.float32)
+        )
+        self.act_max = (
+            act_max if act_max is not None
+            else np.full(policy.config.action_dim, 1.0, np.float32)
+        )
+
+        # host-side counters (checkpointed; `lb_online_trainer_v7.py:367-385`)
+        self.num_steps_in_env = 0
+        self.cnt_explore_suc = 0
+        self.cnt_vid_rollouts = 0
+        self.cnt_vid_rout_per_tk = {tk: 0 for tk in env_list.task_list}
+        self.cnt_explo_suc_per_tk = {tk: 0 for tk in env_list.task_list}
+        self.h5_randsam_start_idx = 0
+        self.is_all_randsam_visited = False
+
+    # -- policy access for exploration -----------------------------------
+
+    def _ema_policy_fn(self, img_obs01: np.ndarray, img_goal01: np.ndarray):
+        """Predict `n_action_steps` actions from the EMA params, DDIM."""
+        self.rng, sub = jax.random.split(self.rng)
+        obs = {
+            "img_obs_1": jnp.asarray(img_obs01),
+            "img_goal_1": jnp.asarray(img_goal01),
+        }
+        out = self._predict_ddim(self.state.ema_params, sub, obs)
+        return np.asarray(out["action"][0])
+
+    # -- data -------------------------------------------------------------
+
+    @property
+    def step(self) -> int:
+        return int(self.state.step)
+
+    def ingest_h5(self, start: int, end: int):
+        if not self.cfg.randsam_path:
+            return
+        steps = add_episodes_to_buffer(
+            self.cfg.randsam_path, self.envBuf_rand, self.envs.task_list,
+            start, end, self.act_min, self.act_max,
+            cam=self.envs.camera_list[0],
+            env_idx_per_task={
+                tk: self.envs.seed_sets[tk][0] for tk in self.envs.task_list
+            },
+            count_env_steps=not self.is_all_randsam_visited,
+        )
+        self.num_steps_in_env += steps
+
+    def sample_from_bufs(self) -> Dict[str, np.ndarray]:
+        """Mixed-buffer sampling (`sample_from_bufs`
+        `lb_online_trainer_v7.py:787-851`)."""
+        cfg = self.cfg
+        bs = cfg.buf_sample_batch_size
+        if len(self.envBuf_vid) == 0:
+            return self.envBuf_rand.sample_batch(bs, self.np_rng)
+        if len(self.envBuf_rand) == 0:
+            return self.envBuf_vid.sample_batch(bs, self.np_rng)
+
+        if cfg.buf_sample_method == "rand_prob":
+            probs = self.np_rng.uniform(size=bs)
+            n_rands = int((probs < cfg.buf_sample_randBuf_prob).sum())
+        elif cfg.buf_sample_method == "iter_bias_fix":
+            ratio = (
+                cfg.buf_sample_ratio_rand
+                if self.iter_sched.iter_type == "rand-bias"
+                else cfg.buf_sample_ratio_vid
+            )
+            n_rands = int(round(bs * ratio[0]))
+        else:
+            raise NotImplementedError(cfg.buf_sample_method)
+        n_vids = bs - n_rands
+        parts = []
+        if n_rands:
+            parts.append(self.envBuf_rand.sample_batch(n_rands, self.np_rng))
+        if n_vids:
+            parts.append(self.envBuf_vid.sample_batch(n_vids, self.np_rng))
+        return merge_batches(parts) if len(parts) > 1 else parts[0]
+
+    def to_device_batch(self, host_batch: Dict[str, np.ndarray]):
+        """uint8 images -> [0,1] float on device; the layout consumed by
+        `policy.loss` (`to_batch_dict` `lb_online_trainer_v7.py:1296-1310`)."""
+        return {
+            "obs": {
+                "img_obs_1": jnp.asarray(host_batch["img_obs"]).astype(jnp.float32)
+                / 255.0,
+                "img_goal_1": jnp.asarray(host_batch["img_goal"]).astype(
+                    jnp.float32
+                )
+                / 255.0,
+            },
+            "action": jnp.asarray(host_batch["action"]),
+        }
+
+    # -- exploration ------------------------------------------------------
+
+    def video_guided_explore(self):
+        """One exploration cycle over all tasks
+        (`video_guided_explore` `lb_online_trainer_v7.py:859-938`)."""
+        if self.video_model is None:
+            raise RuntimeError("no video model attached")
+        self.envs.check_no_envs_exist()
+        cam = self.envs.camera_list[0]
+
+        # batch ALL task start frames into one video-model call — the
+        # reference loops bs=1 (`:871-877`); batching is the first TPU win.
+        start_imgs = []
+        metas = []
+        for task in self.envs.task_list:
+            env_idx = self.envs.seed_sets[task][0]
+            self.envs.init_1_given_env(task, env_idx, is_rand=True)
+            start_imgs.append(self.envs.render_an_env(task, cam, env_idx))
+            metas.append((task, env_idx))
+            self.envs.close_1_given_env(task, env_idx)
+
+        self.rng, vid_rng = jax.random.split(self.rng)
+        videos01 = self.video_model.sample(
+            vid_rng,
+            np.stack(start_imgs).astype(np.float32) / 255.0,
+            [m[0] for m in metas],
+        )
+        videos_u8 = (np.asarray(videos01) * 255).astype(np.uint8)
+
+        for (task, env_idx), video in zip(metas, videos_u8):
+            # fresh env per rollout; seeds re-randomized as in the reference
+            self.envs.init_1_given_env(task, env_idx, is_rand=True)
+            img_start = self.envs.render_an_env(task, cam, env_idx)
+            result = self.executor.execute(task, cam, env_idx, img_start, video)
+            self.envs.close_1_given_env(task, env_idx)
+
+            self.envBuf_vid.add_episode(
+                task, cam, env_idx, result.imgs, result.acts,
+                is_success=result.is_success,
+            )
+            self.num_steps_in_env += result.n_env_steps
+            self.cnt_vid_rollouts += 1
+            self.cnt_vid_rout_per_tk[task] += 1
+            if result.is_success:
+                self.cnt_explore_suc += 1
+                self.cnt_explo_suc_per_tk[task] += 1
+
+    # -- checkpointing ----------------------------------------------------
+
+    def _counters(self) -> dict:
+        return dict(
+            num_steps_in_env=self.num_steps_in_env,
+            cnt_explore_suc=self.cnt_explore_suc,
+            cnt_vid_rollouts=self.cnt_vid_rollouts,
+            cnt_vid_rout_per_tk=self.cnt_vid_rout_per_tk,
+            cnt_explo_suc_per_tk=self.cnt_explo_suc_per_tk,
+            h5_randsam_start_idx=self.h5_randsam_start_idx,
+            is_all_randsam_visited=self.is_all_randsam_visited,
+        )
+
+    def save(self, label: Optional[int] = None):
+        label = label if label is not None else (
+            self.step // self.cfg.resolved_label_freq()
+            * self.cfg.resolved_label_freq()
+        )
+        ckpt.save_checkpoint(
+            self.workdir, label, self.state, extra=self._counters(),
+            n_saves=self.cfg.n_saves,
+        )
+
+    def load(self, label: Optional[int] = None):
+        self.state, extra = ckpt.restore_checkpoint(
+            self.workdir, self.state, label
+        )
+        for key in (
+            "num_steps_in_env", "cnt_explore_suc", "cnt_vid_rollouts",
+            "h5_randsam_start_idx", "is_all_randsam_visited",
+        ):
+            if key in extra:
+                setattr(self, key, extra[key])
+        for key in ("cnt_vid_rout_per_tk", "cnt_explo_suc_per_tk"):
+            if key in extra:
+                getattr(self, key).update(extra[key])
+
+    # -- the loop ---------------------------------------------------------
+
+    def train(self, n_steps: Optional[int] = None):
+        cfg = self.cfg
+        n_steps = n_steps or cfg.n_train_steps
+        timer = Timer()
+
+        if len(self.envBuf_rand) == 0 and cfg.randsam_path:
+            self.ingest_h5(0, cfg.num_init_rand_ep_per_tk)
+            self.h5_randsam_start_idx = cfg.num_init_rand_ep_per_tk
+
+        while self.step < n_steps:
+            step = self.step
+            self.iter_sched.update(step)
+            self.throttle.update(len(self.envBuf_rand), len(self.envBuf_vid))
+
+            if (
+                self.video_model is not None
+                and step > cfg.init_rand_steps
+                and step % cfg.video_explo_freq == 0
+                and self.throttle.explo_type_vid == "explo"
+            ):
+                self.video_guided_explore()
+
+            if (
+                cfg.randsam_path
+                and step > cfg.init_rand_steps
+                and step % cfg.rand_explo_freq == 0
+                and self.throttle.explo_type_rand == "explo"
+            ):
+                # circular sweep over the per-task H5 episodes (`:511-526`)
+                st = self.h5_randsam_start_idx % cfg.h5_total_num_ep_per_task
+                n_add = min(
+                    cfg.h5_total_num_ep_per_task - st,
+                    cfg.rand_explo_num_ep_per_tk,
+                )
+                self.ingest_h5(st, st + n_add)
+                self.h5_randsam_start_idx += n_add
+                if self.h5_randsam_start_idx >= cfg.h5_total_num_ep_per_task:
+                    self.is_all_randsam_visited = True
+
+            self.iter_sched.count()
+
+            host_batch = self.sample_from_bufs()
+            batch = self.to_device_batch(host_batch)
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, loss, grad_norm = self._train_step(self.state, sub, batch)
+            new_step = self.step
+
+            if new_step % cfg.save_freq == 0 or new_step == 1:
+                self.save()
+
+            if new_step % cfg.log_freq == 0 or new_step == 1:
+                metrics = {
+                    "train/loss": float(loss),
+                    "train/grad_norm": float(grad_norm),
+                    "train/num_steps_in_env": self.num_steps_in_env,
+                    "train/cnt_explore_suc": self.cnt_explore_suc,
+                    "buf/len_envBuf_rand": len(self.envBuf_rand),
+                    "buf/len_envBuf_vid": len(self.envBuf_vid),
+                    "explo/cnt_vid_rollouts": self.cnt_vid_rollouts,
+                    "time/step_interval": timer(),
+                }
+                for tk in self.cnt_vid_rout_per_tk:
+                    metrics[f"explo/{tk}-cnt_vid_rollouts"] = (
+                        self.cnt_vid_rout_per_tk[tk]
+                    )
+                    metrics[f"explo/{tk}-cnt_explore_suc_vsR"] = (
+                        self.cnt_explo_suc_per_tk[tk]
+                    )
+                self.metrics.log(metrics, new_step)
