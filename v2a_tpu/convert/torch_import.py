@@ -1,0 +1,322 @@
+"""Torch -> JAX checkpoint conversion for the frozen video model stack.
+
+Converts the reference's `model-{milestone}.pt` video checkpoints (an
+`ema_pytorch.EMA` state dict around `GoalGaussianDiffusion(Unet_Libero(
+UNetModel))`, loaded at `diffuser/models/video_model.py:38-46`) and the HF
+CLIP text tower into the v2a_tpu flax parameter trees. Weight-layout
+transforms:
+
+    torch Linear   (O, I)        -> flax Dense kernel (I, O)
+    torch Conv2d   (O, I, kh, kw)-> flax Conv kernel (kh, kw, I, O)
+    torch Conv1d   (O, I, k)     -> flax Conv kernel (k, I, O)
+    torch Conv1d k=1 (attn qkv/proj) -> flax Dense kernel (I, O)
+    GroupNorm/LayerNorm weight/bias  -> scale/bias
+    Embedding weight              -> table, unchanged
+
+The structural enumeration (which `input_blocks.{i}` index is which flax
+module name) replays the U-Net constructor loops of
+`guided_diffusion/guided_diffusion/unet.py:404-684` exactly, parameterized
+by (channel_mult, num_res_blocks, attention_resolutions). Conversion
+fidelity is covered by golden parity tests that run the reference torch
+model (when importable) and the flax model on identical inputs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+
+from v2a_tpu.models.video_model import VideoModelConfig
+
+
+# -- primitive transforms --------------------------------------------------
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def linear_w(w) -> np.ndarray:
+    return _np(w).T
+
+
+def conv2d_w(w) -> np.ndarray:
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def conv1d_w(w) -> np.ndarray:
+    return _np(w).transpose(2, 1, 0)
+
+
+def conv1x1_to_dense(w) -> np.ndarray:
+    return _np(w)[..., 0].T
+
+
+def _norm(sd, p) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{p}.weight"]), "bias": _np(sd[f"{p}.bias"])}
+
+
+def _dense(sd, p, bias=True) -> Dict[str, np.ndarray]:
+    out = {"kernel": linear_w(sd[f"{p}.weight"])}
+    if bias and f"{p}.bias" in sd:
+        out["bias"] = _np(sd[f"{p}.bias"])
+    return out
+
+
+# -- module-level converters ----------------------------------------------
+
+
+def convert_pseudo_conv(sd, p) -> Dict[str, Any]:
+    """`Conv3d` = spatial Conv2d + optional temporal Conv1d (`nn.py:30-88`)."""
+    out: Dict[str, Any] = {
+        "spatial_conv": {
+            "kernel": conv2d_w(sd[f"{p}.spatial_conv.weight"]),
+            "bias": _np(sd[f"{p}.spatial_conv.bias"]),
+        }
+    }
+    if f"{p}.temporal_conv.weight" in sd:
+        out["temporal_conv"] = {
+            "kernel": conv1d_w(sd[f"{p}.temporal_conv.weight"]),
+            "bias": _np(sd[f"{p}.temporal_conv.bias"]),
+        }
+    return out
+
+
+def convert_resblock(sd, p) -> Dict[str, Any]:
+    out = {
+        "in_norm": _norm(sd, f"{p}.in_layers.0"),
+        "in_conv": convert_pseudo_conv(sd, f"{p}.in_layers.2"),
+        "emb_proj": _dense(sd, f"{p}.emb_layers.1"),
+        "out_norm": _norm(sd, f"{p}.out_layers.0"),
+        "out_conv": convert_pseudo_conv(sd, f"{p}.out_layers.3"),
+    }
+    if f"{p}.skip_connection.spatial_conv.weight" in sd:
+        out["skip_conv"] = convert_pseudo_conv(sd, f"{p}.skip_connection")
+    return out
+
+
+def convert_attention(sd, p) -> Dict[str, Any]:
+    return {
+        "norm": _norm(sd, f"{p}.norm"),
+        "qkv": {
+            "kernel": conv1x1_to_dense(sd[f"{p}.qkv.weight"]),
+            "bias": _np(sd[f"{p}.qkv.bias"]),
+        },
+        "proj_out": {
+            "kernel": conv1x1_to_dense(sd[f"{p}.proj_out.weight"]),
+            "bias": _np(sd[f"{p}.proj_out.bias"]),
+        },
+    }
+
+
+def convert_perceiver(sd, p, depth: int = 2) -> Dict[str, Any]:
+    """`PerceiverResampler` (`imagen.py:321-372`)."""
+    out: Dict[str, Any] = {
+        "latents": _np(sd[f"{p}.latents"]),
+        "pos_emb": _np(sd[f"{p}.pos_emb.weight"]),
+        "pool_norm": {"g": _np(sd[f"{p}.to_latents_from_mean_pooled_seq.0.g"])},
+        "pool_proj": _dense(sd, f"{p}.to_latents_from_mean_pooled_seq.1"),
+    }
+    for i in range(depth):
+        a = f"{p}.layers.{i}.0"
+        out[f"attn_{i}"] = {
+            "norm": _norm(sd, f"{a}.norm"),
+            "norm_latents": _norm(sd, f"{a}.norm_latents"),
+            "to_q": _dense(sd, f"{a}.to_q", bias=False),
+            "to_kv": _dense(sd, f"{a}.to_kv", bias=False),
+            "q_scale": _np(sd[f"{a}.q_scale"]),
+            "k_scale": _np(sd[f"{a}.k_scale"]),
+            "to_out": _dense(sd, f"{a}.to_out.0", bias=False),
+            "out_norm": _norm(sd, f"{a}.to_out.1"),
+        }
+        f = f"{p}.layers.{i}.1"
+        out[f"ff_{i}"] = {
+            "norm_in": {"g": _np(sd[f"{f}.0.g"])},
+            "dense_in": _dense(sd, f"{f}.1", bias=False),
+            "norm_hidden": {"g": _np(sd[f"{f}.3.g"])},
+            "dense_out": _dense(sd, f"{f}.4", bias=False),
+        }
+    return out
+
+
+# -- the full video U-Net --------------------------------------------------
+
+
+def convert_video_unet(
+    sd: Dict[str, Any],
+    channel_mult: Sequence[int] = (1, 2, 3, 4, 5),
+    num_res_blocks: int = 2,
+    attention_resolutions: Sequence[int] = (8, 16),
+    perceiver_depth: int = 2,
+) -> Dict[str, Any]:
+    """Map a torch `UNetModel` state dict (keys relative to the model root)
+    onto the `VideoUNet` flax param tree."""
+    p: Dict[str, Any] = {}
+    p["time_dense0"] = _dense(sd, "time_embed.0")
+    p["time_dense1"] = _dense(sd, "time_embed.2")
+    if "task_attnpool.0.latents" in sd:
+        p["task_attnpool"] = convert_perceiver(
+            sd, "task_attnpool.0", perceiver_depth
+        )
+        p["task_proj"] = _dense(sd, "task_attnpool.1")
+
+    p["in_conv"] = convert_pseudo_conv(sd, "input_blocks.0.0")
+
+    # -- down path (constructor loop `unet.py:532-582`)
+    tidx = 1
+    block_idx = 0
+    ds = 1
+    last = len(channel_mult) - 1
+    for level in range(len(channel_mult)):
+        for _ in range(num_res_blocks):
+            p[f"down_res_{block_idx}"] = convert_resblock(
+                sd, f"input_blocks.{tidx}.0"
+            )
+            if ds in attention_resolutions:
+                p[f"down_attn_{block_idx}"] = convert_attention(
+                    sd, f"input_blocks.{tidx}.1"
+                )
+            tidx += 1
+            block_idx += 1
+        if level != last:
+            p[f"downsample_{level}"] = {
+                "conv": convert_pseudo_conv(sd, f"input_blocks.{tidx}.0.op")
+            }
+            tidx += 1
+            ds *= 2
+
+    p["mid_res0"] = convert_resblock(sd, "middle_block.0")
+    p["mid_attn"] = convert_attention(sd, "middle_block.1")
+    p["mid_res1"] = convert_resblock(sd, "middle_block.2")
+
+    # -- up path (constructor loop `unet.py:610-648`)
+    tidx = 0
+    block_idx = 0
+    for level in reversed(range(len(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            p[f"up_res_{block_idx}"] = convert_resblock(
+                sd, f"output_blocks.{tidx}.0"
+            )
+            sub = 1
+            if ds in attention_resolutions:
+                p[f"up_attn_{block_idx}"] = convert_attention(
+                    sd, f"output_blocks.{tidx}.{sub}"
+                )
+                sub += 1
+            if level and i == num_res_blocks:
+                p[f"upsample_{level}"] = {
+                    "conv": convert_pseudo_conv(
+                        sd, f"output_blocks.{tidx}.{sub}.conv"
+                    )
+                }
+                ds //= 2
+            tidx += 1
+            block_idx += 1
+
+    p["out_norm"] = _norm(sd, "out.0")
+    p["out_conv"] = convert_pseudo_conv(sd, "out.2")
+    return {"params": p}
+
+
+def extract_unet_state(ckpt: Dict[str, Any]) -> Dict[str, Any]:
+    """Pull the EMA U-Net weights out of a full `model-{milestone}.pt` dict
+    (`Video_PredModel.load` consumes `ckpt['ema']` whose U-Net lives under
+    `ema_model.model.unet.*` — `video_model.py:38-46`)."""
+    sd = ckpt.get("ema", ckpt)
+    prefix = "ema_model.model.unet."
+    out = {
+        k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)
+    }
+    if not out:  # maybe already unet-rooted
+        out = {k: v for k, v in sd.items() if k.startswith("input_blocks")}
+        if out:
+            return dict(sd)
+        raise KeyError(
+            "could not locate U-Net weights; expected keys under "
+            f"'{prefix}'"
+        )
+    return out
+
+
+# -- CLIP text tower -------------------------------------------------------
+
+
+def convert_clip_text(sd: Dict[str, Any], layers: int = 12) -> Dict[str, Any]:
+    """HF `CLIPTextModel` state dict -> `ClipTextEncoder` params."""
+    pre = "text_model."
+    if not any(k.startswith(pre) for k in sd):
+        pre = ""
+    p: Dict[str, Any] = {
+        "token_embedding": {
+            "embedding": _np(sd[f"{pre}embeddings.token_embedding.weight"])
+        },
+        "position_embedding": _np(
+            sd[f"{pre}embeddings.position_embedding.weight"]
+        ),
+        "final_ln": _norm(sd, f"{pre}final_layer_norm"),
+    }
+    for i in range(layers):
+        b = f"{pre}encoder.layers.{i}"
+        p[f"block_{i}"] = {
+            "ln1": _norm(sd, f"{b}.layer_norm1"),
+            "ln2": _norm(sd, f"{b}.layer_norm2"),
+            "q": _dense(sd, f"{b}.self_attn.q_proj"),
+            "k": _dense(sd, f"{b}.self_attn.k_proj"),
+            "v": _dense(sd, f"{b}.self_attn.v_proj"),
+            "proj": _dense(sd, f"{b}.self_attn.out_proj"),
+            "fc1": _dense(sd, f"{b}.mlp.fc1"),
+            "fc2": _dense(sd, f"{b}.mlp.fc2"),
+        }
+    return {"params": p}
+
+
+# -- serialization ---------------------------------------------------------
+
+
+def save_video_params(params: Dict[str, Any], path: str):
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(params))
+
+
+def load_video_params(path: str) -> Dict[str, Any]:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def convert_video_checkpoint(
+    pt_path: str,
+    out_path: str,
+    config: Optional[VideoModelConfig] = None,
+    clip_path: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Full conversion entry: torch .pt (+ optional local HF CLIP weights)
+    -> one msgpack with {'unet': ..., 'text': ...}."""
+    import torch
+
+    cfg = config or VideoModelConfig()
+    ckpt = torch.load(pt_path, map_location="cpu")
+    unet_sd = extract_unet_state(ckpt)
+    params = {
+        "unet": convert_video_unet(
+            unet_sd,
+            channel_mult=tuple(cfg.channel_mult),
+            num_res_blocks=cfg.num_res_blocks,
+            attention_resolutions=tuple(cfg.attention_resolutions),
+        )
+    }
+    if clip_path:
+        clip_sd = torch.load(
+            os.path.join(clip_path, "pytorch_model.bin"), map_location="cpu"
+        )
+        params["text"] = convert_clip_text(clip_sd)
+    save_video_params(params, out_path)
+    return params

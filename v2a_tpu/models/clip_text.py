@@ -52,7 +52,7 @@ class ClipTextBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, attn_bias: jax.Array) -> jax.Array:
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
         b, n, _ = h.shape
@@ -73,7 +73,7 @@ class ClipTextBlock(nn.Module):
         out = jnp.einsum("bhij,bjhd->bihd", weights, v).reshape(b, n, self.width)
         x = x + nn.Dense(self.width, dtype=self.dtype, name="proj")(out)
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
         h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(h)
@@ -120,7 +120,7 @@ class ClipTextEncoder(nn.Module):
                 self.width, self.heads, self.mlp_dim, self.dtype,
                 name=f"block_{i}",
             )(x, bias)
-        return nn.LayerNorm(dtype=jnp.float32, name="final_ln")(
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln")(
             x.astype(jnp.float32)
         )
 

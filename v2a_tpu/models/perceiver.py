@@ -56,10 +56,10 @@ class PerceiverAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, latents: jax.Array) -> jax.Array:
         inner = self.dim_head * self.heads
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
-        latents = nn.LayerNorm(dtype=jnp.float32, name="norm_latents")(
+        latents = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_latents")(
             latents.astype(jnp.float32)
         ).astype(self.dtype)
 
@@ -92,7 +92,7 @@ class PerceiverAttention(nn.Module):
         out = nn.Dense(
             self.dim, use_bias=False, dtype=self.dtype, name="to_out"
         )(out)
-        return nn.LayerNorm(dtype=jnp.float32, name="out_norm")(
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_norm")(
             out.astype(jnp.float32)
         ).astype(self.dtype)
 

@@ -67,7 +67,7 @@ class Conv1dBlock(nn.Module):
             name="conv",
         )(x)
         x = nn.GroupNorm(
-            num_groups=self.n_groups, dtype=jnp.float32, name="norm"
+            num_groups=self.n_groups, epsilon=1e-5, dtype=jnp.float32, name="norm"
         )(x.astype(jnp.float32))
         return mish(x).astype(self.dtype)
 

@@ -102,7 +102,11 @@ class VideoPredModel:
             task_token_dim=cfg.text_dim,
             dtype=cfg.compute_dtype,
         )
-        self.text_encoder = ClipTextEncoder(dtype=cfg.compute_dtype)
+        self.text_encoder = ClipTextEncoder(
+            width=cfg.text_dim,
+            mlp_dim=cfg.text_dim * 4,
+            dtype=cfg.compute_dtype,
+        )
         self.tokenizer = tokenizer or ClipTokenizerWrapper()
 
         self.diffusion = GaussianDiffusion(

@@ -49,7 +49,7 @@ def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> j
 
 def _group_norm32(x: jax.Array, name: str, num_groups: int = 32) -> jax.Array:
     """GroupNorm(32) computed in float32 (`nn.py:26-28,160-167`)."""
-    return nn.GroupNorm(num_groups=num_groups, dtype=jnp.float32, name=name)(
+    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=jnp.float32, name=name)(
         x.astype(jnp.float32)
     )
 

@@ -41,7 +41,7 @@ class BasicBlock(nn.Module):
             padding=1, use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         y = nn.GroupNorm(
-            num_groups=self.features // 16, dtype=jnp.float32, name="norm1"
+            num_groups=self.features // 16, epsilon=1e-5, dtype=jnp.float32, name="norm1"
         )(y.astype(jnp.float32)).astype(self.dtype)
         y = nn.relu(y)
         y = nn.Conv(
@@ -49,7 +49,7 @@ class BasicBlock(nn.Module):
             dtype=self.dtype, name="conv2",
         )(y)
         y = nn.GroupNorm(
-            num_groups=self.features // 16, dtype=jnp.float32, name="norm2"
+            num_groups=self.features // 16, epsilon=1e-5, dtype=jnp.float32, name="norm2"
         )(y.astype(jnp.float32)).astype(self.dtype)
         if residual.shape != y.shape:
             residual = nn.Conv(
@@ -57,7 +57,7 @@ class BasicBlock(nn.Module):
                 use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(residual)
             residual = nn.GroupNorm(
-                num_groups=self.features // 16, dtype=jnp.float32,
+                num_groups=self.features // 16, epsilon=1e-5, dtype=jnp.float32,
                 name="downsample_norm",
             )(residual.astype(jnp.float32)).astype(self.dtype)
         return nn.relu(y + residual)
@@ -77,7 +77,7 @@ class ResNet18Conv(nn.Module):
             64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
             dtype=self.dtype, name="conv1",
         )(x)
-        x = nn.GroupNorm(num_groups=64 // 16, dtype=jnp.float32, name="norm1")(
+        x = nn.GroupNorm(epsilon=1e-5, num_groups=64 // 16, dtype=jnp.float32, name="norm1")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
         x = nn.relu(x)

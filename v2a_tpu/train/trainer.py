@@ -94,6 +94,11 @@ class TrainerConfig:
     randsam_path: str = ""
     h5_total_num_ep_per_task: int = 500
     is_stop_at_suc: bool = False
+    # 'from_h5' streams pre-generated episodes (`rand_explo_type`
+    # `config/libero/lb_tk8_65to72.py:128`); 'live' runs the random-action
+    # sampler in the simulator instead (no dataset file required)
+    rand_explo_type: str = "from_h5"
+    live_rand_ep_len: int = 120
 
     def resolved_label_freq(self) -> int:
         return self.label_freq or max(int(self.n_train_steps // self.n_saves), 1)
@@ -285,6 +290,25 @@ class OnlineTrainer:
         )
         self.num_steps_in_env += steps
 
+    def live_rand_explore(self, n_ep_per_task: int):
+        """Collect random-action episodes directly in the envs (the 'live'
+        alternative to HDF5 ingestion; sampler semantics from
+        `environment/libero/lb_data/lb_randsam_utils.py:5-167`)."""
+        from v2a_tpu.envs.randsam import RandSamConfig, rand_sample_1_ep
+
+        rcfg = RandSamConfig(rand_ep_len=self.cfg.live_rand_ep_len)
+        cam = self.envs.camera_list[0]
+        for task in self.envs.task_list:
+            env_idx = self.envs.seed_sets[task][0]
+            for _ in range(n_ep_per_task):
+                self.envs.init_1_given_env(task, env_idx, is_rand=True)
+                imgs, acts, _ = rand_sample_1_ep(
+                    self.envs, task, env_idx, rcfg, self.np_rng, cam
+                )
+                self.envs.close_1_given_env(task, env_idx)
+                self.envBuf_rand.add_episode(task, cam, env_idx, imgs, acts)
+                self.num_steps_in_env += len(acts)
+
     def sample_from_bufs(self) -> Dict[str, np.ndarray]:
         """Mixed-buffer sampling (`sample_from_bufs`
         `lb_online_trainer_v7.py:787-851`)."""
@@ -421,9 +445,12 @@ class OnlineTrainer:
         n_steps = n_steps or cfg.n_train_steps
         timer = Timer()
 
-        if len(self.envBuf_rand) == 0 and cfg.randsam_path:
-            self.ingest_h5(0, cfg.num_init_rand_ep_per_tk)
-            self.h5_randsam_start_idx = cfg.num_init_rand_ep_per_tk
+        if len(self.envBuf_rand) == 0:
+            if cfg.randsam_path and cfg.rand_explo_type == "from_h5":
+                self.ingest_h5(0, cfg.num_init_rand_ep_per_tk)
+                self.h5_randsam_start_idx = cfg.num_init_rand_ep_per_tk
+            else:
+                self.live_rand_explore(max(cfg.num_init_rand_ep_per_tk // 25, 1))
 
         while self.step < n_steps:
             step = self.step
@@ -439,21 +466,23 @@ class OnlineTrainer:
                 self.video_guided_explore()
 
             if (
-                cfg.randsam_path
-                and step > cfg.init_rand_steps
+                step > cfg.init_rand_steps
                 and step % cfg.rand_explo_freq == 0
                 and self.throttle.explo_type_rand == "explo"
             ):
-                # circular sweep over the per-task H5 episodes (`:511-526`)
-                st = self.h5_randsam_start_idx % cfg.h5_total_num_ep_per_task
-                n_add = min(
-                    cfg.h5_total_num_ep_per_task - st,
-                    cfg.rand_explo_num_ep_per_tk,
-                )
-                self.ingest_h5(st, st + n_add)
-                self.h5_randsam_start_idx += n_add
-                if self.h5_randsam_start_idx >= cfg.h5_total_num_ep_per_task:
-                    self.is_all_randsam_visited = True
+                if cfg.randsam_path and cfg.rand_explo_type == "from_h5":
+                    # circular sweep over the per-task H5 episodes (`:511-526`)
+                    st = self.h5_randsam_start_idx % cfg.h5_total_num_ep_per_task
+                    n_add = min(
+                        cfg.h5_total_num_ep_per_task - st,
+                        cfg.rand_explo_num_ep_per_tk,
+                    )
+                    self.ingest_h5(st, st + n_add)
+                    self.h5_randsam_start_idx += n_add
+                    if self.h5_randsam_start_idx >= cfg.h5_total_num_ep_per_task:
+                        self.is_all_randsam_visited = True
+                elif cfg.rand_explo_type == "live":
+                    self.live_rand_explore(cfg.rand_explo_num_ep_per_tk)
 
             self.iter_sched.count()
 
