@@ -78,14 +78,18 @@ def main():
     x_cond = jax.random.uniform(rng, (batch, 1, hw, hw, 3)) * 2.0 - 1.0
     task_embed = jax.random.normal(rng, (batch, TOKENS, 512)) * 0.1
 
-    # warmup / compile
-    jax.block_until_ready(sample(params, rng, x_cond, task_embed))
+    # NOTE: timing forces a scalar readback per iteration —
+    # `block_until_ready` does not reliably block under the axon TPU relay
+    checksum = jax.jit(jnp.sum)
+
+    # warmup / compile (both programs)
+    np.asarray(checksum(sample(params, rng, x_cond, task_embed)))
 
     n_iters = 3 if on_tpu else 1
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = sample(params, jax.random.fold_in(rng, i), x_cond, task_embed)
-    jax.block_until_ready(out)
+        np.asarray(checksum(out))
     dt = (time.perf_counter() - t0) / n_iters
 
     frames_per_s = batch * FRAMES / dt

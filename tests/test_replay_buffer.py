@@ -49,7 +49,8 @@ def test_episode_continuity_check():
 
 
 def test_fifo_eviction_and_history_count():
-    buf = ReplayBuffer(max_episodes=3, min_len=5)
+    # inspects the python-backend deque directly
+    buf = ReplayBuffer(max_episodes=3, min_len=5, backend="python")
     for i in range(5):
         imgs, acts = _episode(T=20, seed=i)
         buf.add_episode(f"task{i}", "cam", i, imgs, acts)

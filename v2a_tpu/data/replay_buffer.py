@@ -87,7 +87,16 @@ class EpisodeBuffer:
 
 
 class ReplayBuffer:
-    """Episode-level FIFO buffer with vectorized hindsight batch sampling."""
+    """Episode-level FIFO buffer with vectorized hindsight batch sampling.
+
+    `backend`:
+      - 'python': episodes as numpy arrays in `EpisodeBuffer` objects;
+      - 'native': pixel/action payloads in the C++ slab store
+        (`native/replay/replay_store.cpp`) with parallel-memcpy batch
+        assembly; Python keeps only per-episode metadata;
+      - 'auto' (default): native when the shared library is built, else
+        python. Both backends implement the same sampling distribution.
+    """
 
     def __init__(
         self,
@@ -95,6 +104,7 @@ class ReplayBuffer:
         max_len: int = 700,
         min_len: int = 30,
         sample_act_seq_len: int = 16,
+        backend: str = "auto",
     ):
         if max_episodes > 1e4:
             raise ValueError("max_episodes cap exceeded")
@@ -107,7 +117,32 @@ class ReplayBuffer:
         # throttle (`env_img_replay_buffer.py:39-41`)
         self.cnt_all_history_episodes = 0
 
+        if backend == "auto":
+            from v2a_tpu.data.native_store import native_available
+
+            backend = "native" if native_available() else "python"
+        if backend not in ("native", "python"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        self._store = None  # lazy: created on first episode (needs shapes)
+        # per-slot metadata mirrors the native ring: slot -> meta
+        self._meta: List[Optional[dict]] = []
+
+    def _ensure_store(self, imgs: np.ndarray, acts: np.ndarray):
+        if self._store is not None or self.backend != "native":
+            return
+        from v2a_tpu.data.native_store import NativeEpisodeStore
+
+        self._store = NativeEpisodeStore(
+            self.max_episodes, self.max_len,
+            (imgs.shape[1], imgs.shape[2]), acts.shape[-1],
+            channels=imgs.shape[3],
+        )
+        self._meta = [None] * self.max_episodes
+
     def __len__(self) -> int:
+        if self.backend == "native" and self._store is not None:
+            return len(self._store)
         return len(self.episodes)
 
     def add_episode(
@@ -118,17 +153,27 @@ class ReplayBuffer:
         imgs: np.ndarray,
         acts: np.ndarray,
         is_success: bool = False,
-    ) -> EpisodeBuffer:
+    ) -> Optional[EpisodeBuffer]:
+        imgs = np.ascontiguousarray(imgs)
+        acts = np.asarray(acts, np.float32)
+        EpisodeBuffer._validate_pair(imgs, acts)
+        if min(len(imgs), self.max_len) < self.min_len:
+            raise ValueError(
+                f"episode too short: {len(imgs)} < min_len {self.min_len}"
+            )
+        self._ensure_store(imgs, acts)
+        if self.backend == "native" and self._store is not None:
+            slot = self._store.add_episode(imgs.astype(np.uint8), acts)
+            self._meta[slot] = dict(
+                task=task, cam=cam, env_idx=env_idx, is_success=is_success
+            )
+            self.cnt_all_history_episodes += 1
+            return None
         ep = EpisodeBuffer(
             task=task, cam=cam, env_idx=env_idx,
-            imgs=np.ascontiguousarray(imgs),
-            acts=np.asarray(acts, np.float32),
+            imgs=imgs, acts=acts,
             max_len=self.max_len, is_success=is_success,
         )
-        if len(ep) < self.min_len:
-            raise ValueError(
-                f"episode too short: {len(ep)} < min_len {self.min_len}"
-            )
         self.episodes.append(ep)
         self.cnt_all_history_episodes += 1
         return ep
@@ -147,9 +192,25 @@ class ReplayBuffer:
             action   (B, horizon, Da) float32
             task     list[str], cam list[str], env_idx (B,) int32
         """
+        horizon = horizon or self.sample_act_seq_len
+        if self.backend == "native" and self._store is not None:
+            seed = int(rng.integers(0, 2**63 - 1))
+            obs, goal, acts, slots = self._store.sample_batch(
+                batch_size, horizon, seed
+            )
+            metas = [self._meta[s] for s in slots]
+            return {
+                "img_obs": obs,
+                "img_goal": goal,
+                "action": acts,
+                "task": [m["task"] for m in metas],
+                "cam": [m["cam"] for m in metas],
+                "env_idx": np.asarray(
+                    [m["env_idx"] for m in metas], np.int32
+                ),
+            }
         if not self.episodes:
             raise RuntimeError("sampling from an empty replay buffer")
-        horizon = horizon or self.sample_act_seq_len
         n = len(self.episodes)
         ep_idxs = rng.integers(0, n, size=batch_size)
 
@@ -188,6 +249,11 @@ class ReplayBuffer:
         }
 
     def episode_lengths(self) -> np.ndarray:
+        if self.backend == "native" and self._store is not None:
+            return np.asarray(
+                [self._store.episode_len(i) for i in range(len(self._store))],
+                np.int32,
+            )
         return np.asarray([len(ep) for ep in self.episodes], np.int32)
 
 
