@@ -175,3 +175,43 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     # training continues from the restored step
     trainer2.train(n_steps=step0 + 2)
     assert trainer2.step == step0 + 2
+
+
+@pytest.mark.slow
+def test_trainer_with_dp_mesh(tmp_path):
+    """Real data parallelism: 8-device CPU mesh, batch sharded over 'dp',
+    replicated params; loss must match the unsharded semantics (same
+    computation, compiler-inserted all-reduce)."""
+    from v2a_tpu.parallel.mesh import make_mesh
+
+    envs = FakeEnvList(num_tasks=2, img_hw=(32, 32))
+    policy = DiffusionPolicy.create(
+        PolicyConfig(
+            image_size=(32, 32), down_dims=(32, 64), horizon=16,
+            n_action_steps=8, num_train_timesteps=10,
+            num_inference_steps=10, num_inference_steps_ddim=2,
+        )
+    )
+    cfg = TrainerConfig(
+        num_init_rand_ep_per_tk=1, min_len_uB=10,
+        init_rand_steps=100, buf_sample_batch_size=8,
+        n_train_steps=3, save_freq=100, log_freq=1,
+        randsam_path="", rand_explo_type="live", live_rand_ep_len=20,
+        max_episodes_rand=8, max_episodes_vid=8,
+    )
+    mesh = make_mesh(("dp",))
+    assert mesh.shape["dp"] == 8
+    trainer = OnlineTrainer(
+        policy, envs, cfg, str(tmp_path / "wd"), video_model=None,
+        seed=0, mesh=mesh,
+    )
+    trainer.train(3)
+    assert trainer.step == 3
+    # state stayed replicated and finite
+    p0 = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    assert np.isfinite(np.asarray(p0)).all()
+
+    # batch divisibility is enforced
+    bad = TrainerConfig(buf_sample_batch_size=9, randsam_path="")
+    with pytest.raises(ValueError, match="not divisible"):
+        OnlineTrainer(policy, envs, bad, str(tmp_path / "wd2"), mesh=mesh)

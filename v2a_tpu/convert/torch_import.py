@@ -320,3 +320,164 @@ def convert_video_checkpoint(
         params["text"] = convert_clip_text(clip_sd)
     save_video_params(params, out_path)
     return params
+
+
+# -- diffusion policy (trained) -------------------------------------------
+#
+# Trainer checkpoints (`model-{milestone}.pt`, `lb_online_trainer_v7.py:
+# 364-383`) hold the policy twice: `gcp_model` (online weights) and
+# `ema.ema_model.*` (the EMA used for rollout/eval). Both are
+# `DiffusionUnetImagePolicy` state dicts with submodules `obs_encoder`
+# (MultiImageObsEncoder) and `model` (ConditionalUnet1D).
+
+
+def convtranspose1d_w(w) -> np.ndarray:
+    """torch ConvTranspose1d weight (in, out, k) -> flax ConvTranspose
+    kernel (k, in, out) with the tap axis flipped (verified by dirac-probe
+    equality tests)."""
+    return np.ascontiguousarray(_np(w).transpose(2, 0, 1)[::-1])
+
+
+def _conv1d(sd, p) -> Dict[str, np.ndarray]:
+    return {
+        "kernel": conv1d_w(sd[f"{p}.weight"]),
+        "bias": _np(sd[f"{p}.bias"]),
+    }
+
+
+def _unet1d_resblock(sd, p) -> Dict[str, Any]:
+    """`ConditionalResidualBlock1D` (`conditional_unet1d.py:14-66`)."""
+    out = {
+        "block0": {
+            "conv": _conv1d(sd, f"{p}.blocks.0.block.0"),
+            "norm": _norm(sd, f"{p}.blocks.0.block.1"),
+        },
+        "block1": {
+            "conv": _conv1d(sd, f"{p}.blocks.1.block.0"),
+            "norm": _norm(sd, f"{p}.blocks.1.block.1"),
+        },
+        "cond_encoder": _dense(sd, f"{p}.cond_encoder.1"),
+    }
+    if f"{p}.residual_conv.weight" in sd:
+        out["residual_conv"] = _conv1d(sd, f"{p}.residual_conv")
+    return out
+
+
+def convert_unet1d(
+    sd: Dict[str, Any], down_dims: Sequence[int] = (256, 512, 1024)
+) -> Dict[str, Any]:
+    """torch `ConditionalUnet1D` state dict (keys relative to the net) ->
+    flax `ConditionalUnet1D` params."""
+    p: Dict[str, Any] = {
+        "time_dense0": _dense(sd, "diffusion_step_encoder.1"),
+        "time_dense1": _dense(sd, "diffusion_step_encoder.3"),
+        "mid_res0": _unet1d_resblock(sd, "mid_modules.0"),
+        "mid_res1": _unet1d_resblock(sd, "mid_modules.1"),
+        "final_block": {
+            "conv": _conv1d(sd, "final_conv.0.block.0"),
+            "norm": _norm(sd, "final_conv.0.block.1"),
+        },
+        "final_conv": _conv1d(sd, "final_conv.1"),
+    }
+    n_levels = len(down_dims)
+    for lv in range(n_levels):
+        p[f"down_{lv}_res0"] = _unet1d_resblock(sd, f"down_modules.{lv}.0")
+        p[f"down_{lv}_res1"] = _unet1d_resblock(sd, f"down_modules.{lv}.1")
+        if f"down_modules.{lv}.2.conv.weight" in sd:
+            p[f"down_{lv}_downsample"] = {
+                "conv": _conv1d(sd, f"down_modules.{lv}.2.conv")
+            }
+    for lv in range(n_levels - 1):
+        p[f"up_{lv}_res0"] = _unet1d_resblock(sd, f"up_modules.{lv}.0")
+        p[f"up_{lv}_res1"] = _unet1d_resblock(sd, f"up_modules.{lv}.1")
+        p[f"up_{lv}_upsample"] = {
+            "conv": {
+                "kernel": convtranspose1d_w(sd[f"up_modules.{lv}.2.conv.weight"]),
+                "bias": _np(sd[f"up_modules.{lv}.2.conv.bias"]),
+            }
+        }
+    return p
+
+
+_RESNET_STAGE = {4: "layer1", 5: "layer2", 6: "layer3", 7: "layer4"}
+
+
+def _resnet_basic_block(sd, p) -> Dict[str, Any]:
+    out = {
+        "conv1": {"kernel": conv2d_w(sd[f"{p}.conv1.weight"])},
+        "norm1": _norm(sd, f"{p}.bn1"),
+        "conv2": {"kernel": conv2d_w(sd[f"{p}.conv2.weight"])},
+        "norm2": _norm(sd, f"{p}.bn2"),
+    }
+    if f"{p}.downsample.0.weight" in sd:
+        out["downsample_conv"] = {
+            "kernel": conv2d_w(sd[f"{p}.downsample.0.weight"])
+        }
+        out["downsample_norm"] = _norm(sd, f"{p}.downsample.1")
+    return out
+
+
+def convert_visual_core(sd: Dict[str, Any], p: str) -> Dict[str, Any]:
+    """One robomimic `VisualCore` = ResNet18Conv -> SpatialSoftmax ->
+    flatten -> Linear (`vision_nets.py:65-177`). Keys relative to the
+    VisualCore root: `nets.0.nets.{i}` trunk, `nets.1.nets` keypoint conv,
+    `nets.3` linear. BatchNorms were replaced by GroupNorm post-hoc in the
+    reference (`multi_image_obs_encoder.py:66-77`) so bn* keys hold GN
+    scale/bias."""
+    backbone: Dict[str, Any] = {
+        "conv1": {"kernel": conv2d_w(sd[f"{p}.nets.0.nets.0.weight"])},
+        "norm1": _norm(sd, f"{p}.nets.0.nets.1"),
+    }
+    for idx, stage in _RESNET_STAGE.items():
+        for blk in (0, 1):
+            backbone[f"{stage}_{blk}"] = _resnet_basic_block(
+                sd, f"{p}.nets.0.nets.{idx}.{blk}"
+            )
+    return {
+        "backbone": backbone,
+        "pool": {
+            "kp_conv": {
+                "kernel": conv2d_w(sd[f"{p}.nets.1.nets.weight"]),
+                "bias": _np(sd[f"{p}.nets.1.nets.bias"]),
+            }
+        },
+        "proj": _dense(sd, f"{p}.nets.3"),
+    }
+
+
+def convert_policy(
+    sd: Dict[str, Any],
+    obs_keys: Sequence[str] = ("img_obs_1", "img_goal_1"),
+    down_dims: Sequence[int] = (256, 512, 1024),
+) -> Dict[str, Any]:
+    """torch `DiffusionUnetImagePolicy` state dict -> flax `PolicyNets`
+    params (the tree `DiffusionPolicy.init` produces)."""
+    unet_sd = {
+        k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")
+    }
+    p: Dict[str, Any] = {"unet": convert_unet1d(unet_sd, down_dims)}
+    enc: Dict[str, Any] = {}
+    for key in obs_keys:
+        enc[f"enc_{key}"] = convert_visual_core(
+            sd, f"obs_encoder.key_model_map.{key}"
+        )
+    p["obs_encoder"] = enc
+    return {"params": p}
+
+
+def extract_policy_state(
+    ckpt: Dict[str, Any], use_ema: bool = True
+) -> Dict[str, Any]:
+    """Pull the policy weights out of a trainer `model-{milestone}.pt`
+    (`lb_online_trainer_v7.py:364-383`)."""
+    if use_ema and "ema" in ckpt:
+        sd = ckpt["ema"]
+        prefix = "ema_model."
+        out = {
+            k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)
+        }
+        if out:
+            return out
+    if "gcp_model" in ckpt:
+        return dict(ckpt["gcp_model"])
+    return dict(ckpt)

@@ -60,6 +60,7 @@ class VideoModelConfig:
     num_head_channels: int = 32
     text_dim: int = 512
     dtype: str = "float32"
+    use_pallas_gn: bool = False
 
     @property
     def video_future_horizon(self) -> int:
@@ -101,6 +102,7 @@ class VideoPredModel:
             num_head_channels=cfg.num_head_channels,
             task_token_dim=cfg.text_dim,
             dtype=cfg.compute_dtype,
+            use_pallas_gn=cfg.use_pallas_gn,
         )
         self.text_encoder = ClipTextEncoder(
             width=cfg.text_dim,

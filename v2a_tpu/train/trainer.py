@@ -196,6 +196,7 @@ class OnlineTrainer:
         seed: int = 0,
         act_min: Optional[np.ndarray] = None,
         act_max: Optional[np.ndarray] = None,
+        mesh=None,  # jax.sharding.Mesh with a 'dp' axis for multi-chip DP
     ):
         self.policy = policy
         self.envs = env_list
@@ -219,11 +220,24 @@ class OnlineTrainer:
         self.np_rng = np.random.default_rng(seed)
         self.rng = jax.random.PRNGKey(seed)
 
-        # device state
+        # device state; with a mesh, params/opt/EMA are replicated over all
+        # devices, batches are split along 'dp', and XLA compiles the grad
+        # all-reduce onto ICI (SURVEY §2.11: the reference's Accelerate DP
+        # is degenerate single-process — here it is real)
+        self.mesh = mesh
         tx = make_optimizer(opt_config or OptimizerConfig())
         self.rng, init_rng = jax.random.split(self.rng)
         params = policy.init(init_rng)
         self.state = TrainState.create(params, tx)
+        if mesh is not None:
+            from v2a_tpu.parallel.sharding import replicate
+
+            if config.buf_sample_batch_size % mesh.shape["dp"] != 0:
+                raise ValueError(
+                    f"batch {config.buf_sample_batch_size} not divisible by "
+                    f"dp={mesh.shape['dp']}"
+                )
+            self.state = replicate(self.state, mesh)
         self._train_step = jax.jit(
             make_train_step(policy.loss, tx, ema_config or EMAConfig()),
             donate_argnums=(0,),
@@ -341,17 +355,26 @@ class OnlineTrainer:
 
     def to_device_batch(self, host_batch: Dict[str, np.ndarray]):
         """uint8 images -> [0,1] float on device; the layout consumed by
-        `policy.loss` (`to_batch_dict` `lb_online_trainer_v7.py:1296-1310`)."""
+        `policy.loss` (`to_batch_dict` `lb_online_trainer_v7.py:1296-1310`).
+        With a mesh, arrays are device_put sharded along 'dp' as uint8 (4x
+        less ICI/PCIe traffic) and scaled on device."""
+        batch = {
+            "obs": {
+                "img_obs_1": host_batch["img_obs"],
+                "img_goal_1": host_batch["img_goal"],
+            },
+            "action": host_batch["action"],
+        }
+        if self.mesh is not None:
+            from v2a_tpu.parallel.sharding import shard_batch
+
+            batch = shard_batch(batch, self.mesh)
         return {
             "obs": {
-                "img_obs_1": jnp.asarray(host_batch["img_obs"]).astype(jnp.float32)
-                / 255.0,
-                "img_goal_1": jnp.asarray(host_batch["img_goal"]).astype(
-                    jnp.float32
-                )
-                / 255.0,
+                k: jnp.asarray(v).astype(jnp.float32) / 255.0
+                for k, v in batch["obs"].items()
             },
-            "action": jnp.asarray(host_batch["action"]),
+            "action": jnp.asarray(batch["action"]),
         }
 
     # -- exploration ------------------------------------------------------
