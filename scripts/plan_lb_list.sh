@@ -1,0 +1,11 @@
+#!/bin/bash
+# Counterpart of `diffuser/libero/plan_lb_list.sh`: evaluate a list of
+# experiment workdirs. Usage:
+#   bash scripts/plan_lb_list.sh <n_seeds> <workdir> [workdir...]
+set -e
+n_seeds=${1:-25}
+shift
+cd "$(dirname "$0")/.."
+for wd in "$@"; do
+  python scripts/eval.py --workdir "$wd" --n_seeds "$n_seeds" --eval_seed 0 --vis 1
+done

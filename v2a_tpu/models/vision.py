@@ -18,7 +18,7 @@ TPU-first choices:
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -142,6 +142,10 @@ class VisualCore(nn.Module):
         return nn.Dense(self.feature_dimension, dtype=self.dtype, name="proj")(x)
 
 
+_IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
 class MultiImageObsEncoder(nn.Module):
     """Per-key VisualCore encoders (not shared), concatenated in sorted-key
     order (`multi_image_obs_encoder.py:130,144-196` sorts rgb keys, so for
@@ -149,24 +153,51 @@ class MultiImageObsEncoder(nn.Module):
 
     Input: dict of (B, H, W, 3) images already normalized to [-1, 1].
     Output: (B, n_keys * feature_dimension).
-    """
+
+    The optional preprocessing stages of the reference encoder — resize,
+    center crop (eval-time; train uses random crop in the upstream
+    diffusion-policy codebase), ImageNet normalization
+    (`multi_image_obs_encoder.py:79-124`) — are all DISABLED in the Libero
+    release config (asserted Identity at `:124`) but are part of the
+    capability surface, so they are supported here. `imagenet_norm` expects
+    inputs scaled to [0, 1]."""
 
     rgb_keys: Tuple[str, ...] = ("img_goal_1", "img_obs_1")
     feature_dimension: int = 64
     num_kp: int = 32
     dtype: jnp.dtype = jnp.float32
+    resize_shape: Optional[Tuple[int, int]] = None
+    crop_shape: Optional[Tuple[int, int]] = None
+    imagenet_norm: bool = False
+
+    def _preprocess(self, img: jax.Array) -> jax.Array:
+        if self.resize_shape is not None:
+            b = img.shape[0]
+            rh, rw = self.resize_shape
+            img = jax.image.resize(
+                img, (b, rh, rw, img.shape[-1]), method="bilinear"
+            )
+        if self.crop_shape is not None:
+            ch, cw = self.crop_shape
+            h, w = img.shape[1], img.shape[2]
+            top, left = (h - ch) // 2, (w - cw) // 2
+            img = img[:, top : top + ch, left : left + cw, :]
+        if self.imagenet_norm:
+            img = (img - _IMAGENET_MEAN) / _IMAGENET_STD
+        return img
 
     @nn.compact
     def __call__(self, obs: Dict[str, jax.Array]) -> jax.Array:
         feats = []
         for key in sorted(self.rgb_keys):
+            img = self._preprocess(obs[key].astype(self.dtype))
             feats.append(
                 VisualCore(
                     feature_dimension=self.feature_dimension,
                     num_kp=self.num_kp,
                     dtype=self.dtype,
                     name=f"enc_{key}",
-                )(obs[key].astype(self.dtype))
+                )(img)
             )
         return jnp.concatenate(feats, axis=-1)
 

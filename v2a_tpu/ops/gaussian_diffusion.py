@@ -320,10 +320,17 @@ class GaussianDiffusion:
         x_cond: jax.Array,
         task_embed: jax.Array,
         t: Optional[jax.Array] = None,
+        sample_weights: Optional[jax.Array] = None,
+        return_per_sample: bool = False,
     ) -> jax.Array:
         """Weighted denoising loss. `x_start` is expected in [0, 1] and is
         mapped to [-1, 1] here when `auto_normalize` (mirrors
-        `goal_diffusion.py:718-724`)."""
+        `goal_diffusion.py:718-724`).
+
+        `sample_weights` (B,) multiplies per-sample losses (importance
+        weights from a schedule resampler, `resample.py` semantics);
+        `return_per_sample` additionally returns the unweighted per-sample
+        losses for resampler history updates."""
         b = x_start.shape[0]
         t_rng, noise_rng = jax.random.split(rng)
         if t is None:
@@ -350,7 +357,12 @@ class GaussianDiffusion:
         weight = self.schedule.loss_weight(
             self.objective, self.min_snr_loss_weight, self.min_snr_gamma
         )[t]
-        return (loss * weight).mean()
+        weighted = loss * weight
+        if sample_weights is not None:
+            weighted = weighted * sample_weights
+        if return_per_sample:
+            return weighted.mean(), loss
+        return weighted.mean()
 
     # -- range mapping -----------------------------------------------------
 

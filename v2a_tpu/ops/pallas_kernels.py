@@ -44,7 +44,10 @@ def _stats_kernel(x_ref, sums_ref, *, groups: int, chunk: int):
     g_sq = jnp.sum(xg * xg, axis=1).reshape(s, groups).sum(axis=0)
     pad = sums_ref.shape[-1] - groups
     row = jnp.stack([g_sum, g_sq])  # (2, G)
-    row = jnp.pad(row, ((0, 0), (0, pad)))
+    if pad:
+        row = jnp.concatenate(
+            [row, jnp.zeros((2, pad), jnp.float32)], axis=1
+        )
 
     @pl.when(j == 0)
     def _():
@@ -68,9 +71,10 @@ def _apply_kernel(
     mean = g_sum / n_per_group
     var = g_sq / n_per_group - mean * mean
     rstd = jax.lax.rsqrt(var + eps)
-    # broadcast per-group stats to channels
-    mean_c = jnp.repeat(mean, gw, total_repeat_length=c)
-    rstd_c = jnp.repeat(rstd, gw, total_repeat_length=c)
+    # broadcast per-group stats to channels (reshape-broadcast; jnp.repeat
+    # lowers to scatter, unsupported in Pallas TPU)
+    mean_c = jnp.broadcast_to(mean[:, None], (groups, gw)).reshape(c)
+    rstd_c = jnp.broadcast_to(rstd[:, None], (groups, gw)).reshape(c)
     y = (x - mean_c[None, :]) * rstd_c[None, :]
     y = y * scale_ref[0][None, :].astype(jnp.float32) + bias_ref[0][
         None, :

@@ -91,8 +91,14 @@ def make_train_step(
     loss_fn: Callable[[Any, jax.Array, Any], jax.Array],
     tx: optax.GradientTransformation,
     ema_cfg: Optional[EMAConfig] = None,
+    accumulate: int = 1,
 ) -> Callable[[TrainState, jax.Array, Any], StepOutput]:
     """Build the fused train step. `loss_fn(params, rng, batch) -> scalar`.
+
+    With `accumulate > 1` (the reference's `gradient_accumulate_every` loop,
+    `lb_online_trainer_v7.py:496-604`), every batch leaf must carry a
+    leading `(accumulate, ...)` axis of independent micro-batches; gradients
+    are averaged over a `lax.scan` before ONE optimizer/EMA update.
 
     The returned function is pure and jit-friendly; jit it with
     `donate_argnums=(0,)` so parameter/optimizer buffers are reused in-place
@@ -101,7 +107,27 @@ def make_train_step(
     ema_cfg = ema_cfg or EMAConfig()
 
     def train_step(state: TrainState, rng: jax.Array, batch: Any) -> StepOutput:
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, rng, batch)
+        if accumulate == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, rng, batch)
+        else:
+            def micro(carry, inputs):
+                sub_rng, micro_batch = inputs
+                l, g = jax.value_and_grad(loss_fn)(
+                    state.params, sub_rng, micro_batch
+                )
+                acc_l, acc_g = carry
+                return (
+                    acc_l + l / accumulate,
+                    jax.tree_util.tree_map(
+                        lambda a, b: a + b / accumulate, acc_g, g
+                    ),
+                ), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            rngs = jax.random.split(rng, accumulate)
+            (loss, grads), _ = jax.lax.scan(
+                micro, (jnp.zeros(()), zeros), (rngs, batch)
+            )
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -99,6 +99,8 @@ class TrainerConfig:
     # sampler in the simulator instead (no dataset file required)
     rand_explo_type: str = "from_h5"
     live_rand_ep_len: int = 120
+    # debug image dumps every N steps (0 = off)
+    debug_img_freq: int = 0
 
     def resolved_label_freq(self) -> int:
         return self.label_freq or max(int(self.n_train_steps // self.n_saves), 1)
@@ -239,7 +241,10 @@ class OnlineTrainer:
                 )
             self.state = replicate(self.state, mesh)
         self._train_step = jax.jit(
-            make_train_step(policy.loss, tx, ema_config or EMAConfig()),
+            make_train_step(
+                policy.loss, tx, ema_config or EMAConfig(),
+                accumulate=config.gradient_accumulate_every,
+            ),
             donate_argnums=(0,),
         )
         self._predict_ddim = jax.jit(
@@ -424,6 +429,27 @@ class OnlineTrainer:
                 self.cnt_explore_suc += 1
                 self.cnt_explo_suc_per_tk[task] += 1
 
+    # -- debug artifacts ---------------------------------------------------
+
+    def dump_debug_images(self, n: int = 8):
+        """Periodic visual artifacts: buffer start/goal pairs and the latest
+        exploration rollout strip (`lb_online_trainer_v7.py:541-583,
+        1266-1284`). Written under workdir/debug/."""
+        from v2a_tpu.data.img_utils import save_episode_png
+
+        out_dir = os.path.join(self.workdir, "debug")
+        for name, buf in (("rand", self.envBuf_rand), ("vid", self.envBuf_vid)):
+            if len(buf) == 0:
+                continue
+            batch = buf.sample_batch(n, self.np_rng)
+            pairs = np.concatenate(
+                [batch["img_obs"], batch["img_goal"]], axis=1
+            )  # stack obs over goal vertically
+            save_episode_png(
+                os.path.join(out_dir, f"buf_{name}_step{self.step}.png"),
+                pairs,
+            )
+
     # -- checkpointing ----------------------------------------------------
 
     def _counters(self) -> dict:
@@ -509,14 +535,28 @@ class OnlineTrainer:
 
             self.iter_sched.count()
 
-            host_batch = self.sample_from_bufs()
-            batch = self.to_device_batch(host_batch)
+            ga = cfg.gradient_accumulate_every
+            if ga == 1:
+                batch = self.to_device_batch(self.sample_from_bufs())
+            else:
+                # ga independent buffer samples per optimizer step
+                # (`lb_online_trainer_v7.py:496-604`)
+                micro = [
+                    self.to_device_batch(self.sample_from_bufs())
+                    for _ in range(ga)
+                ]
+                batch = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs, axis=0), *micro
+                )
             self.rng, sub = jax.random.split(self.rng)
             self.state, loss, grad_norm = self._train_step(self.state, sub, batch)
             new_step = self.step
 
             if new_step % cfg.save_freq == 0 or new_step == 1:
                 self.save()
+
+            if cfg.debug_img_freq and new_step % cfg.debug_img_freq == 0:
+                self.dump_debug_images()
 
             if new_step % cfg.log_freq == 0 or new_step == 1:
                 metrics = {
