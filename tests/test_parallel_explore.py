@@ -1,0 +1,142 @@
+"""Subprocess env workers + batched lock-step exploration."""
+
+import numpy as np
+import pytest
+
+from v2a_tpu.envs.subproc import EnvWorkerPool
+from v2a_tpu.train.explore import ExploreConfig
+from v2a_tpu.train.explore_batched import BatchedGuidedRolloutExecutor
+
+
+@pytest.fixture(scope="module")
+def pool():
+    with EnvWorkerPool("fake-2tk-small-v0", n_workers=2) as p:
+        yield p
+
+
+def test_worker_roundtrip(pool):
+    tasks = pool.task_list
+    assert len(tasks) == 2
+    env_idx_results = pool.map([
+        (i, "init_1_given_env", (tasks[i], 10000), {"e_seed": 5})
+        for i in range(2)
+    ])
+    imgs = pool.map([
+        (i, "render_an_env", (tasks[i], "agent", 10000), {})
+        for i in range(2)
+    ])
+    assert imgs[0].shape == (32, 32, 3) and imgs[0].dtype == np.uint8
+    out = pool.map([
+        (i, "step_k",
+         (tasks[i], 10000, np.zeros((4, 7), np.float32), "agent"),
+         {"grasp_cam": "gripper"})
+        for i in range(2)
+    ])
+    assert out[0]["imgs"].shape == (4, 32, 32, 3)
+    assert out[0]["depth"].ndim == 2
+    assert out[0]["ee_pos"].shape == (3,)
+    pool.map([
+        (i, "close_1_given_env", (tasks[i], 10000), {}) for i in range(2)
+    ])
+
+
+def test_worker_error_propagates(pool):
+    with pytest.raises(RuntimeError, match="env worker failed"):
+        pool.workers[0].call("step_an_env", "no-such-task", 0, np.zeros(7))
+
+
+def test_batched_executor_matches_serial_structure(pool):
+    """Lock-step batched rollouts produce structurally valid episodes with
+    the same action-chunk layout as the serial executor."""
+    tasks = pool.task_list
+    cfg = ExploreConfig(
+        n_acts_per_pred=4, n_preds_betw_vframes=(2, 2), act_down_val=-0.1,
+        n_acts_down_range=(4, 4), n_acts_close_grp=2,
+    )
+
+    calls = {"n": 0, "batches": []}
+
+    def batch_policy(obs01, goal01):
+        calls["n"] += 1
+        calls["batches"].append(obs01.shape[0])
+        return np.zeros((obs01.shape[0], 4, 7), np.float32)
+
+    execu = BatchedGuidedRolloutExecutor(
+        pool, batch_policy, cfg,
+        task_to_task_idx={t: 65 + i for i, t in enumerate(tasks)},
+    )
+    assignments = [(tasks[0], 10000), (tasks[1], 10000)]
+    pool.map([
+        (i, "init_1_given_env", (t, e), {"is_rand": True})
+        for i, (t, e) in enumerate(assignments)
+    ])
+    start_imgs = pool.map([
+        (i, "render_an_env", (t, "agent", e), {})
+        for i, (t, e) in enumerate(assignments)
+    ])
+    video = np.stack([start_imgs[0]] * 3)  # 3 goal frames
+    results = execu.execute_all(
+        assignments, "agent", start_imgs, [video, video], seeds=[1, 2],
+    )
+    pool.map([
+        (i, "close_1_given_env", (t, e), {})
+        for i, (t, e) in enumerate(assignments)
+    ])
+
+    # 3 frames x 2 preds = 6 rounds, each ONE batched call of size 2
+    assert calls["n"] == 6
+    assert all(b == 2 for b in calls["batches"])
+    for r in results:
+        assert len(r.imgs) == len(r.acts) + 1
+        assert r.imgs.dtype == np.uint8
+        # at least the scheduled 6 * 4 actions, plus any grasp injections
+        assert len(r.acts) >= 24
+
+
+@pytest.mark.slow
+def test_trainer_parallel_exploration(tmp_path):
+    """Full trainer cycle with the worker pool wired in."""
+    import jax
+
+    from v2a_tpu.envs.fake import FakeEnvList
+    from v2a_tpu.models.policy import DiffusionPolicy, PolicyConfig
+    from v2a_tpu.train.trainer import OnlineTrainer, TrainerConfig
+
+    class StubVideo:
+        def sample(self, rng, imgs01, tasks):
+            return np.clip(
+                np.stack([imgs01 * (1 + 0.05 * (i + 1)) for i in range(2)], 1),
+                0, 1,
+            )
+
+    envs = FakeEnvList(num_tasks=2, img_hw=(32, 32))
+    policy = DiffusionPolicy.create(PolicyConfig(
+        image_size=(32, 32), down_dims=(32, 64), horizon=8, n_action_steps=4,
+        num_train_timesteps=10, num_inference_steps=10,
+        num_inference_steps_ddim=2,
+    ))
+    cfg = TrainerConfig(
+        init_rand_steps=2, video_explo_freq=4, rand_explo_freq=1000,
+        n_train_steps=8, save_freq=100, log_freq=4,
+        buf_sample_batch_size=8, min_len_uB=9, model_act_horizon=8,
+        max_episodes_rand=20, max_episodes_vid=20, randsam_path="",
+        rand_explo_type="live", live_rand_ep_len=12,
+    )
+    with EnvWorkerPool(
+        "fake-2tk-small-v0", n_workers=2
+    ) as pool:
+        trainer = OnlineTrainer(
+            policy, envs, cfg, str(tmp_path / "wd"),
+            video_model=StubVideo(),
+            explore_config=__import__(
+                "v2a_tpu.train.explore", fromlist=["ExploreConfig"]
+            ).ExploreConfig(
+                n_acts_per_pred=4, n_preds_betw_vframes=(1, 2),
+                act_down_val=-0.1,
+            ),
+            seed=0, env_pool=pool,
+        )
+        trainer.train(8)
+        assert trainer.step == 8
+        assert len(trainer.envBuf_vid) >= 2
+        assert trainer.cnt_vid_rollouts >= 2

@@ -1,0 +1,144 @@
+"""Subprocess environment workers for parallel exploration.
+
+The reference steps ONE MuJoCo env at a time in-process because multiple
+EGL render contexts corrupt each other (`environment/libero/lb_env_v3.py:
+355-357`); its exploration is therefore serial: 8 tasks x (~280 sim steps +
+~35 policy calls) per cycle, policy batch 1
+(`lb_online_trainer_v7.py:859-938`). Here each worker PROCESS owns its own
+env backend (its own EGL context), so N rollouts step concurrently while
+the coordinator batches all N policy predictions into single TPU calls —
+the "batch of environments" axis SURVEY §5 identifies as the right thing to
+scale.
+
+Protocol: the parent sends (method, args, kwargs) tuples over a pipe; the
+worker applies them to its private EnvList and replies (ok, payload).
+`step_k` amortizes the pipe round trip: the worker executes a whole action
+chunk and returns every rendered frame plus the grasp-heuristic
+observables.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _worker_main(conn, env_factory_name: str, factory_kwargs: dict):
+    from v2a_tpu.envs.registration import make_env_list
+
+    envs = make_env_list(env_factory_name, **factory_kwargs)
+    while True:
+        try:
+            msg = conn.recv()
+        except EOFError:
+            break
+        if msg is None:
+            break
+        method, args, kwargs = msg
+        try:
+            if method == "step_k":
+                payload = _step_k(envs, *args, **kwargs)
+            elif method == "task_list":
+                payload = envs.task_list
+            else:
+                payload = getattr(envs, method)(*args, **kwargs)
+            conn.send((True, payload))
+        except Exception as e:  # surface worker errors to the parent
+            conn.send((False, f"{type(e).__name__}: {e}"))
+    conn.close()
+
+
+def _step_k(envs, task, env_idx, actions, cam, grasp_cam=None):
+    """Execute a chunk of actions, rendering after each step; optionally
+    return the depth render + EE position for the grasp heuristic."""
+    imgs = []
+    done = False
+    for a in np.asarray(actions, np.float32):
+        _, _, e_done, _ = envs.step_an_env(task, env_idx, a)
+        imgs.append(envs.render_an_env(task, cam, env_idx))
+        done = bool(e_done) or done
+    out: Dict[str, Any] = {"imgs": np.stack(imgs), "done": done}
+    if grasp_cam is not None:
+        _, depth = envs.render_an_env_with_depth(task, grasp_cam, env_idx)
+        out["depth"] = np.asarray(depth)
+        out["ee_pos"] = np.asarray(
+            envs.get_an_env_obs(task, env_idx)["robot0_eef_pos"]
+        )
+    return out
+
+
+class EnvWorker:
+    """One env backend in one child process."""
+
+    def __init__(self, env_name: str, **factory_kwargs):
+        ctx = mp.get_context("spawn")
+        self._parent, child = ctx.Pipe()
+        self._proc = ctx.Process(
+            target=_worker_main, args=(child, env_name, factory_kwargs),
+            daemon=True,
+        )
+        self._proc.start()
+        child.close()
+        self._pending = False
+
+    # -- async request/response -------------------------------------------
+
+    def call_async(self, method: str, *args, **kwargs):
+        if self._pending:
+            raise RuntimeError("worker already has a pending call")
+        self._parent.send((method, args, kwargs))
+        self._pending = True
+
+    def result(self):
+        ok, payload = self._parent.recv()
+        self._pending = False
+        if not ok:
+            raise RuntimeError(f"env worker failed: {payload}")
+        return payload
+
+    def call(self, method: str, *args, **kwargs):
+        self.call_async(method, *args, **kwargs)
+        return self.result()
+
+    def close(self):
+        try:
+            self._parent.send(None)
+        except (BrokenPipeError, OSError):
+            pass
+        self._proc.join(timeout=10)
+        if self._proc.is_alive():
+            self._proc.terminate()
+        self._parent.close()
+
+
+class EnvWorkerPool:
+    """N workers, broadcast/gather helpers; workers run concurrently when
+    driven with call_async on all before collecting results."""
+
+    def __init__(self, env_name: str, n_workers: int, **factory_kwargs):
+        self.workers = [
+            EnvWorker(env_name, **factory_kwargs) for _ in range(n_workers)
+        ]
+        self.task_list: List[str] = self.workers[0].call("task_list")
+
+    def __len__(self):
+        return len(self.workers)
+
+    def map(self, calls: Sequence[Tuple[int, str, tuple, dict]]):
+        """Issue (worker_idx, method, args, kwargs) concurrently; returns
+        results ordered like `calls`."""
+        for w_idx, method, args, kwargs in calls:
+            self.workers[w_idx].call_async(method, *args, **kwargs)
+        return [self.workers[w_idx].result() for w_idx, *_ in calls]
+
+    def close(self):
+        for w in self.workers:
+            w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -199,6 +199,7 @@ class OnlineTrainer:
         act_min: Optional[np.ndarray] = None,
         act_max: Optional[np.ndarray] = None,
         mesh=None,  # jax.sharding.Mesh with a 'dp' axis for multi-chip DP
+        env_pool=None,  # EnvWorkerPool: parallel exploration workers
     ):
         self.policy = policy
         self.envs = env_list
@@ -258,6 +259,17 @@ class OnlineTrainer:
         self.executor = GuidedRolloutExecutor(
             env_list, self._ema_policy_fn, self.explore_cfg, self.np_rng
         )
+        self.env_pool = env_pool
+        self._batched_executor = None
+        if env_pool is not None:
+            from v2a_tpu.train.explore_batched import (
+                BatchedGuidedRolloutExecutor,
+            )
+
+            self._batched_executor = BatchedGuidedRolloutExecutor(
+                env_pool, self._ema_policy_fn_batch, self.explore_cfg,
+                env_list.task_to_task_idx, policy.config.action_dim,
+            )
 
         self.act_min = (
             act_min if act_min is not None
@@ -288,6 +300,17 @@ class OnlineTrainer:
         }
         out = self._predict_ddim(self.state.ema_params, sub, obs)
         return np.asarray(out["action"][0])
+
+    def _ema_policy_fn_batch(self, img_obs01: np.ndarray, img_goal01: np.ndarray):
+        """Batched variant: (N,H,W,3)x2 -> (N, n_action_steps, Da), one
+        compiled DDIM chain for all parallel rollouts."""
+        self.rng, sub = jax.random.split(self.rng)
+        obs = {
+            "img_obs_1": jnp.asarray(img_obs01),
+            "img_goal_1": jnp.asarray(img_goal01),
+        }
+        out = self._predict_ddim(self.state.ema_params, sub, obs)
+        return np.asarray(out["action"])
 
     # -- data -------------------------------------------------------------
 
@@ -389,6 +412,8 @@ class OnlineTrainer:
         (`video_guided_explore` `lb_online_trainer_v7.py:859-938`)."""
         if self.video_model is None:
             raise RuntimeError("no video model attached")
+        if self._batched_executor is not None:
+            return self._video_guided_explore_parallel()
         self.envs.check_no_envs_exist()
         cam = self.envs.camera_list[0]
 
@@ -418,6 +443,59 @@ class OnlineTrainer:
             result = self.executor.execute(task, cam, env_idx, img_start, video)
             self.envs.close_1_given_env(task, env_idx)
 
+            self.envBuf_vid.add_episode(
+                task, cam, env_idx, result.imgs, result.acts,
+                is_success=result.is_success,
+            )
+            self.num_steps_in_env += result.n_env_steps
+            self.cnt_vid_rollouts += 1
+            self.cnt_vid_rout_per_tk[task] += 1
+            if result.is_success:
+                self.cnt_explore_suc += 1
+                self.cnt_explo_suc_per_tk[task] += 1
+
+    def _video_guided_explore_parallel(self):
+        """Pool-parallel exploration: every worker owns one task's env; ONE
+        batched video-model call, then lock-step rollouts with batched
+        policy predictions (`train/explore_batched.py`)."""
+        pool = self.env_pool
+        cam = self.envs.camera_list[0]
+        tasks = self.envs.task_list
+        n = len(pool)
+        assignments = []
+        for i in range(n):
+            task = tasks[i % len(tasks)]
+            assignments.append((task, self.envs.seed_sets[task][0]))
+
+        # concurrent env init + start-frame render in the workers
+        pool.map([
+            (i, "init_1_given_env", (task, env_idx),
+             {"is_rand": True})
+            for i, (task, env_idx) in enumerate(assignments)
+        ])
+        start_imgs = pool.map([
+            (i, "render_an_env", (task, cam, env_idx), {})
+            for i, (task, env_idx) in enumerate(assignments)
+        ])
+
+        self.rng, vid_rng = jax.random.split(self.rng)
+        videos01 = self.video_model.sample(
+            vid_rng,
+            np.stack(start_imgs).astype(np.float32) / 255.0,
+            [a[0] for a in assignments],
+        )
+        videos_u8 = (np.asarray(videos01) * 255).astype(np.uint8)
+
+        seeds = [int(self.np_rng.integers(0, 2**31 - 1)) for _ in range(n)]
+        results = self._batched_executor.execute_all(
+            assignments, cam, start_imgs, list(videos_u8), seeds
+        )
+        pool.map([
+            (i, "close_1_given_env", (task, env_idx), {})
+            for i, (task, env_idx) in enumerate(assignments)
+        ])
+
+        for (task, env_idx), result in zip(assignments, results):
             self.envBuf_vid.add_episode(
                 task, cam, env_idx, result.imgs, result.acts,
                 is_success=result.is_success,
