@@ -27,6 +27,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _group_matrix(c: int, groups: int, g_pad: int) -> jax.Array:
+    """(C, G_pad) one-hot channel->group assignment, built from iota so it
+    lives in registers — Mosaic rejects reshapes onto narrow trailing dims,
+    so group reductions become matmuls instead of reshape-sums."""
+    gw = c // groups
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, g_pad), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, g_pad), 1)
+    return (ch // gw == gr).astype(jnp.float32)
+
+
 def _stats_kernel(x_ref, sums_ref, *, groups: int, chunk: int):
     """Accumulate per-(batch, group) sum and sum-of-squares over S chunks.
 
@@ -38,16 +48,17 @@ def _stats_kernel(x_ref, sums_ref, *, groups: int, chunk: int):
 
     x = x_ref[0].astype(jnp.float32)  # (chunk, C)
     s, c = x.shape
-    gw = c // groups
-    xg = x.reshape(s * groups, gw)
-    g_sum = jnp.sum(xg, axis=1).reshape(s, groups).sum(axis=0)
-    g_sq = jnp.sum(xg * xg, axis=1).reshape(s, groups).sum(axis=0)
-    pad = sums_ref.shape[-1] - groups
-    row = jnp.stack([g_sum, g_sq])  # (2, G)
-    if pad:
-        row = jnp.concatenate(
-            [row, jnp.zeros((2, pad), jnp.float32)], axis=1
-        )
+    g_pad = sums_ref.shape[-1]
+    m = _group_matrix(c, groups, g_pad)  # (C, G_pad)
+    col_sum = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
+    col_sq = jnp.sum(x * x, axis=0, keepdims=True)
+    row = jnp.concatenate(
+        [
+            jnp.dot(col_sum, m, preferred_element_type=jnp.float32),
+            jnp.dot(col_sq, m, preferred_element_type=jnp.float32),
+        ],
+        axis=0,
+    )  # (2, G_pad)
 
     @pl.when(j == 0)
     def _():
@@ -65,17 +76,16 @@ def _apply_kernel(
     """Normalize + affine (+ SiLU) one (1, chunk, C) block."""
     x = x_ref[0].astype(jnp.float32)  # (chunk, C)
     s, c = x.shape
-    gw = c // groups
-    g_sum = sums_ref[0, 0, :groups]
-    g_sq = sums_ref[0, 1, :groups]
-    mean = g_sum / n_per_group
-    var = g_sq / n_per_group - mean * mean
-    rstd = jax.lax.rsqrt(var + eps)
-    # broadcast per-group stats to channels (reshape-broadcast; jnp.repeat
-    # lowers to scatter, unsupported in Pallas TPU)
-    mean_c = jnp.broadcast_to(mean[:, None], (groups, gw)).reshape(c)
-    rstd_c = jnp.broadcast_to(rstd[:, None], (groups, gw)).reshape(c)
-    y = (x - mean_c[None, :]) * rstd_c[None, :]
+    g_pad = sums_ref.shape[-1]
+    m = _group_matrix(c, groups, g_pad)  # (C, G_pad)
+    stats = sums_ref[0]  # (2, G_pad): [sums; sumsqs]
+    mean_g = stats[0:1] / n_per_group  # (1, G_pad)
+    var_g = stats[1:2] / n_per_group - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # scatter group stats back to channels with the transpose matmul
+    mean_c = jnp.dot(mean_g, m.T, preferred_element_type=jnp.float32)  # (1, C)
+    rstd_c = jnp.dot(rstd_g, m.T, preferred_element_type=jnp.float32)
+    y = (x - mean_c) * rstd_c
     y = y * scale_ref[0][None, :].astype(jnp.float32) + bias_ref[0][
         None, :
     ].astype(jnp.float32)
