@@ -84,15 +84,43 @@ def main(argv=None):
     save_path = os.path.join(
         workdir, "plans", f"{stamp}-nm{eval_cfg.n_seeds}-evSd{eval_seed}"
     )
-    evaluator = Evaluator(
-        env_list,
-        policy_fn,
-        video_fn,
-        video_horizon=cfg.video.video_future_horizon,
-        config=eval_cfg,
-        save_path=save_path,
-    )
-    results = evaluator.run_evals()
+    n_workers = int(args.get("--workers", 0))
+    if n_workers > 1:
+        # parallel protocol: N episodes in lock-step, batched TPU calls
+        from v2a_tpu.envs.subproc import EnvWorkerPool
+        from v2a_tpu.eval.parallel import ParallelEvaluator
+
+        def policy_fn_batch(obs01, goal01):
+            rng_holder["rng"], sub = jax.random.split(rng_holder["rng"])
+            out = predict(
+                trainer.state.ema_params, sub,
+                {
+                    "img_obs_1": jax.numpy.asarray(obs01),
+                    "img_goal_1": jax.numpy.asarray(goal01),
+                },
+            )
+            return np.asarray(out["action"])
+
+        def video_fn_batch(imgs01, tasks):
+            rng_holder["rng"], sub = jax.random.split(rng_holder["rng"])
+            return np.asarray(video_model.sample(sub, imgs01, list(tasks)))
+
+        with EnvWorkerPool(cfg.dataset, n_workers=n_workers) as pool:
+            results = ParallelEvaluator(
+                pool, policy_fn_batch, video_fn_batch,
+                video_horizon=cfg.video.video_future_horizon,
+                config=eval_cfg,
+            ).run_evals(save_path=save_path)
+    else:
+        evaluator = Evaluator(
+            env_list,
+            policy_fn,
+            video_fn,
+            video_horizon=cfg.video.video_future_horizon,
+            config=eval_cfg,
+            save_path=save_path,
+        )
+        results = evaluator.run_evals()
     path = save_result_json(
         results, save_path, epoch=epoch,
         dp_ds=cfg.policy.num_inference_steps_ddim,

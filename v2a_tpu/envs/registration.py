@@ -35,6 +35,8 @@ def _register_defaults():
     # CI / hermetic stand-ins
     register_env_list("fake-8tk-v0", FakeEnvList, num_tasks=8)
     register_env_list("fake-2tk-small-v0", FakeEnvList, num_tasks=2, img_hw=(32, 32))
+    # the fake_smoke config's dataset (32x32, 2 tasks)
+    register_env_list("fake-2tk-v0", FakeEnvList, num_tasks=2, img_hw=(32, 32))
 
     # the Libero suites of `init_libero.py:25-77`; constructed lazily so the
     # LIBERO import only happens if actually requested

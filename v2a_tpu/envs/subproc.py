@@ -42,6 +42,8 @@ def _worker_main(conn, env_factory_name: str, factory_kwargs: dict):
                 payload = _step_k(envs, *args, **kwargs)
             elif method == "task_list":
                 payload = envs.task_list
+            elif method.startswith("attr:"):
+                payload = getattr(envs, method[len("attr:"):])
             else:
                 payload = getattr(envs, method)(*args, **kwargs)
             conn.send((True, payload))
