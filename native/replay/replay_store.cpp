@@ -195,4 +195,22 @@ int64_t v2a_store_episode_len(const Store* s, int64_t live_idx) {
   return s->episodes[slot].n_imgs;
 }
 
+// Copy one episode's payload out (for checkpointing). Buffers must hold
+// n_imgs*h*w*c bytes and (n_imgs-1)*act_dim floats (query episode_len
+// first). Returns 0 on success.
+int32_t v2a_store_get_episode(const Store* s, int64_t live_idx,
+                              uint8_t* out_imgs, float* out_acts) {
+  if (!s || live_idx < 0 || live_idx >= s->n_live || !out_imgs || !out_acts)
+    return -1;
+  int64_t slot = (s->n_live == s->max_episodes)
+                     ? (s->next_slot + live_idx) % s->max_episodes
+                     : live_idx;
+  const Episode& ep = s->episodes[slot];
+  std::memcpy(out_imgs, s->img_slab.data() + ep.img_off,
+              (size_t)ep.n_imgs * s->img_px());
+  std::memcpy(out_acts, s->act_slab.data() + ep.act_off,
+              (size_t)(ep.n_imgs - 1) * s->act_dim * sizeof(float));
+  return 0;
+}
+
 }  // extern "C"

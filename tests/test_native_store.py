@@ -117,3 +117,41 @@ def test_replay_buffer_native_backend_end_to_end():
     buf_py.add_episode("t", "agent", 1, imgs, acts)
     b2 = buf_py.sample_batch(4, rng)
     assert set(b2) == set(batch)
+
+
+def test_buffer_save_load_roundtrip(tmp_path):
+    """Checkpointing: episodes + metadata round-trip through npz, both
+    backends."""
+    for backend in ("native", "python"):
+        buf = ReplayBuffer(4, max_len=64, min_len=10, sample_act_seq_len=8,
+                           backend=backend)
+        for e in range(3):
+            imgs, acts = _episode(e, 30)
+            buf.add_episode(f"task{e}", "agent", 100 + e, imgs, acts,
+                            is_success=e == 1)
+        path = str(tmp_path / f"buf_{backend}.npz")
+        buf.save(path)
+
+        buf2 = ReplayBuffer(4, max_len=64, min_len=10, sample_act_seq_len=8,
+                            backend=backend)
+        buf2.load(path)
+        assert len(buf2) == 3
+        assert buf2.cnt_all_history_episodes == 3
+        a = buf.export_episodes()
+        b = buf2.export_episodes()
+        for ea, eb in zip(a, b):
+            np.testing.assert_array_equal(ea["imgs"], eb["imgs"])
+            np.testing.assert_array_equal(ea["acts"], eb["acts"])
+            assert ea["task"] == eb["task"]
+            assert ea["is_success"] == eb["is_success"]
+
+
+def test_export_episodes_order_after_eviction():
+    buf = ReplayBuffer(3, max_len=64, min_len=10, backend="native")
+    for e in range(5):
+        imgs, acts = _episode(e, 30)
+        buf.add_episode(f"task{e}", "agent", e, imgs, acts)
+    eps = buf.export_episodes()
+    # oldest-first: episodes 2, 3, 4 survive
+    assert [e["task"] for e in eps] == ["task2", "task3", "task4"]
+    assert [int(e["imgs"][0, 0, 0, 1]) for e in eps] == [2, 3, 4]

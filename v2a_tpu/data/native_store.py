@@ -63,6 +63,13 @@ def _load_lib():
     ]
     lib.v2a_store_episode_len.restype = ctypes.c_int64
     lib.v2a_store_episode_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.v2a_store_get_episode.restype = ctypes.c_int32
+    lib.v2a_store_get_episode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return lib
 
@@ -158,3 +165,20 @@ class NativeEpisodeStore:
 
     def episode_len(self, live_idx: int) -> int:
         return int(self._lib.v2a_store_episode_len(self._ptr, live_idx))
+
+    def get_episode(self, live_idx: int):
+        """Copy one episode out: (imgs uint8 (T+1,H,W,C), acts f32 (T,Da))."""
+        n = self.episode_len(live_idx)
+        if n < 0:
+            raise IndexError(f"live index {live_idx} out of range")
+        imgs = np.empty((n, self.h, self.w, self.c), np.uint8)
+        acts = np.empty((n - 1, self.act_dim), np.float32)
+        with self._lock:
+            rc = self._lib.v2a_store_get_episode(
+                self._ptr, live_idx,
+                imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                acts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+        if rc != 0:
+            raise RuntimeError(f"get_episode failed (rc={rc})")
+        return imgs, acts

@@ -248,6 +248,69 @@ class ReplayBuffer:
             "env_idx": env_idxs,
         }
 
+    # -- checkpointing (beyond the reference: its resume restarts buffer
+    # filling, `lb_online_trainer_v7.py:367-407` never saves buffers) ------
+
+    def _native_slot(self, live_idx: int) -> int:
+        if len(self._store) == self.max_episodes:
+            next_slot = self._store.total_added % self.max_episodes
+            return (next_slot + live_idx) % self.max_episodes
+        return live_idx
+
+    def export_episodes(self) -> List[dict]:
+        """All live episodes oldest-first as plain dicts."""
+        out: List[dict] = []
+        if self.backend == "native" and self._store is not None:
+            for i in range(len(self._store)):
+                imgs, acts = self._store.get_episode(i)
+                meta = self._meta[self._native_slot(i)]
+                out.append(dict(imgs=imgs, acts=acts, **meta))
+        else:
+            for ep in self.episodes:
+                out.append(dict(
+                    imgs=ep.imgs, acts=ep.acts, task=ep.task, cam=ep.cam,
+                    env_idx=ep.env_idx, is_success=ep.is_success,
+                ))
+        return out
+
+    def save(self, path: str):
+        """Persist every live episode + metadata to one compressed npz."""
+        import json
+
+        eps = self.export_episodes()
+        arrays = {}
+        meta = []
+        for i, ep in enumerate(eps):
+            arrays[f"imgs_{i}"] = ep["imgs"]
+            arrays[f"acts_{i}"] = ep["acts"]
+            meta.append({
+                "task": ep["task"], "cam": ep["cam"],
+                "env_idx": int(ep["env_idx"]),
+                "is_success": bool(ep["is_success"]),
+            })
+        arrays["meta_json"] = np.frombuffer(
+            json.dumps(
+                {"episodes": meta,
+                 "cnt_all_history_episodes": self.cnt_all_history_episodes}
+            ).encode(),
+            np.uint8,
+        )
+        np.savez_compressed(path, **arrays)
+
+    def load(self, path: str):
+        """Restore episodes saved by `save` (appended in saved order)."""
+        import json
+
+        with np.load(path) as data:
+            meta = json.loads(bytes(data["meta_json"]).decode())
+            for i, m in enumerate(meta["episodes"]):
+                self.add_episode(
+                    m["task"], m["cam"], m["env_idx"],
+                    data[f"imgs_{i}"], data[f"acts_{i}"],
+                    is_success=m["is_success"],
+                )
+            self.cnt_all_history_episodes = meta["cnt_all_history_episodes"]
+
     def episode_lengths(self) -> np.ndarray:
         if self.backend == "native" and self._store is not None:
             return np.asarray(

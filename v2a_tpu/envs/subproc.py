@@ -72,18 +72,36 @@ def _step_k(envs, task, env_idx, actions, cam, grasp_cam=None):
 
 
 class EnvWorker:
-    """One env backend in one child process."""
+    """One env backend in one child process.
+
+    `respawn()` restarts a dead worker with the same factory — the pool's
+    failure-recovery hook (the reference's env-exception handling is a
+    stub that always returns False, `lb_online_trainer_v7.py:981-991`)."""
 
     def __init__(self, env_name: str, **factory_kwargs):
+        self._env_name = env_name
+        self._factory_kwargs = factory_kwargs
+        self._spawn()
+
+    def _spawn(self):
         ctx = mp.get_context("spawn")
         self._parent, child = ctx.Pipe()
         self._proc = ctx.Process(
-            target=_worker_main, args=(child, env_name, factory_kwargs),
+            target=_worker_main,
+            args=(child, self._env_name, self._factory_kwargs),
             daemon=True,
         )
         self._proc.start()
         child.close()
         self._pending = False
+
+    @property
+    def alive(self) -> bool:
+        return self._proc.is_alive()
+
+    def respawn(self):
+        self.close()
+        self._spawn()
 
     # -- async request/response -------------------------------------------
 
@@ -94,7 +112,13 @@ class EnvWorker:
         self._pending = True
 
     def result(self):
-        ok, payload = self._parent.recv()
+        try:
+            ok, payload = self._parent.recv()
+        except EOFError:
+            self._pending = False
+            raise RuntimeError(
+                "env worker process died (EOF on pipe); call respawn()"
+            )
         self._pending = False
         if not ok:
             raise RuntimeError(f"env worker failed: {payload}")

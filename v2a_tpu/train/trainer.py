@@ -101,6 +101,9 @@ class TrainerConfig:
     live_rand_ep_len: int = 120
     # debug image dumps every N steps (0 = off)
     debug_img_freq: int = 0
+    # also checkpoint the replay buffers (beyond the reference, whose resume
+    # restarts buffer filling)
+    checkpoint_buffers: bool = False
 
     def resolved_label_freq(self) -> int:
         return self.label_freq or max(int(self.n_train_steps // self.n_saves), 1)
@@ -550,6 +553,9 @@ class OnlineTrainer:
             self.workdir, label, self.state, extra=self._counters(),
             n_saves=self.cfg.n_saves,
         )
+        if self.cfg.checkpoint_buffers:
+            self.envBuf_rand.save(os.path.join(self.workdir, "buf_rand.npz"))
+            self.envBuf_vid.save(os.path.join(self.workdir, "buf_vid.npz"))
 
     def load(self, label: Optional[int] = None):
         self.state, extra = ckpt.restore_checkpoint(
@@ -564,6 +570,14 @@ class OnlineTrainer:
         for key in ("cnt_vid_rout_per_tk", "cnt_explo_suc_per_tk"):
             if key in extra:
                 getattr(self, key).update(extra[key])
+        if self.cfg.checkpoint_buffers:
+            for name, buf in (
+                ("buf_rand.npz", self.envBuf_rand),
+                ("buf_vid.npz", self.envBuf_vid),
+            ):
+                path = os.path.join(self.workdir, name)
+                if os.path.exists(path) and len(buf) == 0:
+                    buf.load(path)
 
     # -- the loop ---------------------------------------------------------
 
