@@ -220,15 +220,20 @@ class GaussianDiffusion:
         shape: Tuple[int, ...],
         x_cond: jax.Array,
         task_embed: jax.Array,
+        init_noise: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Full-chain ancestral sampler as one `lax.scan` over t = T-1..0.
 
         Uses clipped x0 (`clip_denoised=True` as at `goal_diffusion.py:575`)
         and low-temperature noise `var_temp` (`goal_diffusion.py:577-580`).
-        Returns samples mapped back to [0, 1].
+        Returns samples mapped back to [0, 1]. `init_noise` overrides x_T
+        (reproducible sampling / golden tests).
         """
         rng, init_rng = jax.random.split(rng)
-        img = jax.random.normal(init_rng, shape, dtype=jnp.float32)
+        img = (
+            init_noise if init_noise is not None
+            else jax.random.normal(init_rng, shape, dtype=jnp.float32)
+        )
         timesteps = jnp.arange(self.num_timesteps - 1, -1, -1)
         step_rngs = jax.random.split(rng, self.num_timesteps)
 
@@ -266,10 +271,14 @@ class GaussianDiffusion:
         shape: Tuple[int, ...],
         x_cond: jax.Array,
         task_embed: jax.Array,
+        init_noise: Optional[jax.Array] = None,
     ) -> jax.Array:
         pairs = jnp.asarray(self.ddim_time_pairs())
         rng, init_rng = jax.random.split(rng)
-        img = jax.random.normal(init_rng, shape, dtype=jnp.float32)
+        img = (
+            init_noise if init_noise is not None
+            else jax.random.normal(init_rng, shape, dtype=jnp.float32)
+        )
         step_rngs = jax.random.split(rng, pairs.shape[0])
         eta = self.ddim_sampling_eta
         acp = self.schedule.alphas_cumprod
