@@ -215,3 +215,21 @@ def test_trainer_with_dp_mesh(tmp_path):
     bad = TrainerConfig(buf_sample_batch_size=9, randsam_path="")
     with pytest.raises(ValueError, match="not divisible"):
         OnlineTrainer(policy, envs, bad, str(tmp_path / "wd2"), mesh=mesh)
+
+
+def test_buffer_checkpoint_resume(tmp_path):
+    """With checkpoint_buffers, a fresh trainer resumes with full buffers
+    (the reference restarts buffer filling on resume)."""
+    tr = small_trainer(tmp_path, with_video=False, checkpoint_buffers=True)
+    tr.train(5)  # save_freq=5 -> checkpoint lands at step 5
+    n_rand = len(tr.envBuf_rand)
+    assert n_rand > 0
+    assert (tmp_path / "workdir" / "buf_rand.npz").exists()
+
+    tr2 = small_trainer(tmp_path, with_video=False, checkpoint_buffers=True)
+    tr2.load()
+    assert tr2.step == 5
+    assert len(tr2.envBuf_rand) == n_rand
+    # resumed buffers actually sample
+    batch = tr2.envBuf_rand.sample_batch(4, np.random.default_rng(0))
+    assert batch["img_obs"].shape[0] == 4
