@@ -52,16 +52,27 @@ def _worker_main(conn, env_factory_name: str, factory_kwargs: dict):
     conn.close()
 
 
-def _step_k(envs, task, env_idx, actions, cam, grasp_cam=None):
+def _step_k(envs, task, env_idx, actions, cam, grasp_cam=None,
+            done_mode="any"):
     """Execute a chunk of actions, rendering after each step; optionally
-    return the depth render + EE position for the grasp heuristic."""
+    return the depth render + EE position for the grasp heuristic.
+
+    `done_mode`: 'any' latches done across the chunk (the eval harness
+    checks success after EVERY step, `lb_eval_helper.py:317-326`); 'last'
+    reports only the final step's done (the explore executor reads done
+    once per chunk, `lb_online_trainer_v7.py:1100-1111`)."""
     imgs = []
     done = False
+    last_done = False
     for a in np.asarray(actions, np.float32):
         _, _, e_done, _ = envs.step_an_env(task, env_idx, a)
         imgs.append(envs.render_an_env(task, cam, env_idx))
-        done = bool(e_done) or done
-    out: Dict[str, Any] = {"imgs": np.stack(imgs), "done": done}
+        last_done = bool(e_done)
+        done = last_done or done
+    out: Dict[str, Any] = {
+        "imgs": np.stack(imgs),
+        "done": last_done if done_mode == "last" else done,
+    }
     if grasp_cam is not None:
         _, depth = envs.render_an_env_with_depth(task, grasp_cam, env_idx)
         out["depth"] = np.asarray(depth)

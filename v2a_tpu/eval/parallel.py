@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import types
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -127,8 +128,9 @@ class ParallelEvaluator:
                 elif s.fr_idx > 0:
                     s.g_idx += 1
             if need_vid:
-                vb = np.zeros((n, h, w, 3), np.float32)
-                tasks = [states[live[0]].task] * n
+                nb = len(self.pool)  # pad to pool size: no recompiles on
+                vb = np.zeros((nb, h, w, 3), np.float32)  # partial waves
+                tasks = [states[live[0]].task] * nb
                 for i in need_vid:
                     vb[i] = states[i].img_st.astype(np.float32) / 255.0
                     tasks[i] = states[i].task
@@ -143,15 +145,17 @@ class ParallelEvaluator:
                     s.cnt_vid_pred += 1
                     s.g_idx = 0
 
-            # -- ONE batched policy call over all live episodes
-            obs = np.zeros((n, h, w, 3), np.float32)
-            goal = np.zeros((n, h, w, 3), np.float32)
+            # -- ONE batched policy call over all live episodes (padded to
+            # the pool size so partial final waves reuse the compilation)
+            nb = len(self.pool)
+            obs = np.zeros((nb, h, w, 3), np.float32)
+            goal = np.zeros((nb, h, w, 3), np.float32)
             for i in live:
                 s = states[i]
                 obs[i] = s.img_st.astype(np.float32) / 255.0
                 goal[i] = s.pred_v[s.g_idx].astype(np.float32) / 255.0
             acts_all = np.asarray(self.policy_fn(obs, goal)).reshape(
-                n, cfg.n_acts_per_pred, self.action_dim
+                nb, cfg.n_acts_per_pred, self.action_dim
             )
 
             # -- concurrent env stepping
@@ -193,6 +197,22 @@ class ParallelEvaluator:
             for s in states
         ]
 
+    def _write_artifacts(self, task, cam, seed, res, save_path):
+        """Reuse the serial evaluator's artifact layout (same tk_idx-prefixed
+        directories, `lb_eval_helper.py:119-144`)."""
+        from v2a_tpu.eval.harness import Evaluator
+
+        if not hasattr(self, "_task_to_task_idx"):
+            self._task_to_task_idx = self.pool.workers[0].call(
+                "attr:task_to_task_idx"
+            )
+        ev = Evaluator.__new__(Evaluator)
+        ev.save_path = save_path
+        ev.envs = types.SimpleNamespace(
+            task_to_task_idx=self._task_to_task_idx
+        )
+        ev._save_episode_artifacts(task, cam, seed, res)
+
     # -- full protocol -------------------------------------------------------
 
     def run_evals(self, save_path: Optional[str] = None, cam: str = "agent") -> Dict:
@@ -212,20 +232,7 @@ class ParallelEvaluator:
             ):
                 all_results[(task, seed)] = res
                 if cfg.vis and save_path:
-                    from v2a_tpu.eval.harness import Evaluator
-
-                    class _E:
-                        pass
-
-                    # reuse the artifact writer without a full Evaluator
-                    ev = Evaluator.__new__(Evaluator)
-                    ev.save_path = save_path
-
-                    class _Envs:
-                        task_to_task_idx = {task: 0}
-
-                    ev.envs = _Envs()
-                    ev._save_episode_artifacts(task, cam, seed, res)
+                    self._write_artifacts(task, cam, seed, res, save_path)
 
         is_sucs_all, run_times_all = [], []
         is_sucs_per_tk: Dict[str, list] = {}

@@ -135,6 +135,10 @@ def fused_group_norm_silu(
     x3 = x.reshape(b, s, c)
 
     chunk = chunk or _pick_chunk(s, c)
+    if chunk > s or s % chunk:
+        raise ValueError(
+            f"chunk {chunk} must divide the folded spatial size {s}"
+        )
     n_chunks = s // chunk
     g_pad = max(128, groups)
 

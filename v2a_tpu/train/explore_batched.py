@@ -74,6 +74,8 @@ class BatchedGuidedRolloutExecutor:
     def _sample_act_down_val(self, task: str, rng) -> float:
         cfg = self.cfg
         if cfg.act_down_val is not None:
+            if cfg.act_down_val > 0:
+                raise ValueError("act_down_val must be <= 0")
             return cfg.act_down_val
         table = cfg.act_down_val_range_per_tk or LB_GRASP_ACTDOWN_RANGE
         lo, hi = table[self.task_to_task_idx[task]]
@@ -154,7 +156,10 @@ class BatchedGuidedRolloutExecutor:
                     (s.task, s.env_idx, acts, cam),
                     {"grasp_cam": cfg.grasp_cam if (
                         cfg.is_grasp_task and not s.do_grasp
-                    ) else None},
+                    ) else None,
+                     # serial executor reads done once per chunk
+                     # (`train/explore.py:159-163`)
+                     "done_mode": "last"},
                 ))
             results = self.pool.map(calls)
 
@@ -196,7 +201,8 @@ class BatchedGuidedRolloutExecutor:
                     s = states[i]
                     s.imgs.extend(list(out["imgs"]))
                     s.n_env_steps += len(out["imgs"])
-                    s.is_suc = out["done"] or s.is_suc
+                    # the serial executor ignores done during grasp
+                    # injection (`train/explore.py:184-202`)
 
             for i in active:
                 s = states[i]

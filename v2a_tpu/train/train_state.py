@@ -134,6 +134,9 @@ def make_train_step(
 
         step = state.step + 1
         decay = ema_decay(step, ema_cfg)
+        # honor update_every (ema_pytorch skips updates between multiples)
+        do_update = (step % ema_cfg.update_every == 0).astype(jnp.float32)
+        decay = 1.0 - (1.0 - decay) * do_update
         ema_params = jax.tree_util.tree_map(
             lambda e, p: decay * e + (1.0 - decay) * p, state.ema_params, params
         )

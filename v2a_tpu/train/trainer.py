@@ -465,10 +465,14 @@ class OnlineTrainer:
         cam = self.envs.camera_list[0]
         tasks = self.envs.task_list
         n = len(pool)
+        # rotate the task window across cycles so every task gets explored
+        # even when the pool is smaller than the task list
+        offset = getattr(self, "_pool_task_offset", 0)
         assignments = []
         for i in range(n):
-            task = tasks[i % len(tasks)]
+            task = tasks[(offset + i) % len(tasks)]
             assignments.append((task, self.envs.seed_sets[task][0]))
+        self._pool_task_offset = (offset + n) % len(tasks)
 
         # concurrent env init + start-frame render in the workers
         pool.map([
