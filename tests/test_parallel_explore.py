@@ -140,3 +140,47 @@ def test_trainer_parallel_exploration(tmp_path):
         assert trainer.step == 8
         assert len(trainer.envBuf_vid) >= 2
         assert trainer.cnt_vid_rollouts >= 2
+
+
+def test_pool_task_rotation_covers_all_tasks(tmp_path):
+    """With fewer workers than tasks, successive exploration cycles rotate
+    through the whole task list."""
+    import jax
+    from v2a_tpu.envs.fake import FakeEnvList
+    from v2a_tpu.models.policy import DiffusionPolicy, PolicyConfig
+    from v2a_tpu.train.trainer import OnlineTrainer, TrainerConfig
+
+    class StubVideo:
+        def sample(self, rng, imgs01, tasks):
+            return np.clip(
+                np.stack([imgs01 * (1 + 0.1 * (i + 1)) for i in range(2)], 1),
+                0, 1,
+            )
+
+    envs = FakeEnvList(num_tasks=4, img_hw=(32, 32))
+    policy = DiffusionPolicy.create(PolicyConfig(
+        image_size=(32, 32), down_dims=(32, 64), horizon=8, n_action_steps=4,
+        num_train_timesteps=10, num_inference_steps=10,
+        num_inference_steps_ddim=2,
+    ))
+    cfg = TrainerConfig(
+        randsam_path="", min_len_uB=9, model_act_horizon=8,
+        max_episodes_vid=40,
+    )
+    with EnvWorkerPool(
+        "fake-8tk-v0", n_workers=2, num_tasks=4, img_hw=(32, 32)
+    ) as pool:
+        trainer = OnlineTrainer(
+            policy, envs, cfg, str(tmp_path / "wd"), video_model=StubVideo(),
+            explore_config=ExploreConfig(
+                n_acts_per_pred=4, n_preds_betw_vframes=(1, 1),
+                act_down_val=-0.1,
+            ),
+            seed=0, env_pool=pool,
+        )
+        for _ in range(2):
+            trainer.video_guided_explore()
+    # 2 cycles x 2 workers rotate over all 4 tasks
+    assert all(v == 1 for v in trainer.cnt_vid_rout_per_tk.values()), (
+        trainer.cnt_vid_rout_per_tk
+    )

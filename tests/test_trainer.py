@@ -233,3 +233,37 @@ def test_buffer_checkpoint_resume(tmp_path):
     # resumed buffers actually sample
     batch = tr2.envBuf_rand.sample_batch(4, np.random.default_rng(0))
     assert batch["img_obs"].shape[0] == 4
+
+
+def test_ema_update_every_is_honored():
+    """update_every=3: EMA only moves on multiples of 3 (ema_pytorch
+    semantics the config mirrors)."""
+    import optax
+    from v2a_tpu.train.train_state import (
+        EMAConfig, TrainState, make_train_step, make_optimizer, OptimizerConfig,
+    )
+
+    def loss_fn(params, rng, batch):
+        return jnp.sum((params["w"] - batch) ** 2)
+
+    import jax.numpy as jnp  # noqa: F811
+
+    tx = make_optimizer(OptimizerConfig(lr=1e-1, weight_decay=0.0))
+    params = {"w": jnp.ones((4,))}
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(
+        loss_fn, tx, EMAConfig(update_every=3, beta=0.5, inv_gamma=1.0,
+                               power=1.0),
+    ))
+    batch = jnp.zeros((4,))
+    emas = []
+    for i in range(6):
+        state, loss, gn = step(state, jax.random.PRNGKey(i), batch)
+        emas.append(np.asarray(state.ema_params["w"]).copy())
+    # steps 1,2 leave EMA untouched; step 3 moves it
+    np.testing.assert_array_equal(emas[0], np.ones(4))
+    np.testing.assert_array_equal(emas[1], np.ones(4))
+    assert (emas[2] != np.ones(4)).any()
+    np.testing.assert_array_equal(emas[3], emas[2])
+    np.testing.assert_array_equal(emas[4], emas[2])
+    assert (emas[5] != emas[2]).any()

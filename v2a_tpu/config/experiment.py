@@ -250,12 +250,41 @@ def parse_cli(argv: Sequence[str]) -> Tuple[Optional[str], Dict[str, str]]:
 # -- experiment naming + snapshot -----------------------------------------
 
 
-def generate_exp_name(cfg: ExperimentConfig) -> str:
-    """`watch()`-style name from salient hyperparams (`setup.py:25-46`)."""
-    return (
-        f"{cfg.config_fn}_H{cfg.policy.horizon}"
-        f"_T{cfg.policy.num_train_timesteps}"
-    )
+DEFAULT_WATCH = (
+    ("config_fn", ""),
+    ("policy.horizon", "H"),
+    ("policy.num_train_timesteps", "T"),
+)
+
+
+def generate_exp_name(
+    cfg: ExperimentConfig,
+    watch: Sequence[Tuple[str, str]] = DEFAULT_WATCH,
+) -> str:
+    """`watch()`-style name: (dotted-arg, label) pairs joined as
+    `label{value}` (`diffuser/utils/setup.py:25-46`)."""
+    d = cfg.to_dict()
+    parts = []
+    for dotted, label in watch:
+        node: Any = d
+        for p in dotted.split("."):
+            node = node[p]
+        parts.append(f"{label}{node}" if label else str(node))
+    return "_".join(p for p in parts if p)
+
+
+def _git_rev() -> Optional[str]:
+    """Current commit (the reference records it per-experiment,
+    `setup.py:162-176`)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            timeout=5, cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:
+        return None
 
 
 SNAPSHOT_NAME = "experiment_config.json"
@@ -267,8 +296,10 @@ def save_snapshot(cfg: ExperimentConfig, savepath: Optional[str] = None) -> str:
     savepath = savepath or cfg.savepath()
     os.makedirs(savepath, exist_ok=True)
     path = os.path.join(savepath, SNAPSHOT_NAME)
+    payload = cfg.to_dict()
+    payload["_meta"] = {"git_rev": _git_rev()}
     with open(path, "w") as f:
-        json.dump(cfg.to_dict(), f, indent=1, default=str)
+        json.dump(payload, f, indent=1, default=str)
     return path
 
 
@@ -279,4 +310,6 @@ def load_snapshot(savepath: str) -> ExperimentConfig:
         else os.path.join(savepath, SNAPSHOT_NAME)
     )
     with open(path) as f:
-        return ExperimentConfig.from_dict(json.load(f))
+        d = json.load(f)
+    d.pop("_meta", None)
+    return ExperimentConfig.from_dict(d)
