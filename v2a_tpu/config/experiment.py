@@ -105,8 +105,6 @@ def _coerce_tuples(cls, kwargs: Dict[str, Any]) -> Dict[str, Any]:
             or fields[k].default_factory is not dataclasses.MISSING  # type: ignore
         ):
             v = _list_to_tuple(v)
-        if isinstance(default, tuple) and isinstance(v, list):
-            v = _list_to_tuple(v)
         out[k] = v
     return out
 
@@ -119,13 +117,34 @@ def _list_to_tuple(v):
 
 def _fixup_int_key_dicts(cls, kwargs: Dict[str, Any]) -> Dict[str, Any]:
     """JSON stringifies int dict keys (e.g. the per-task grasp table
-    `act_down_val_range_per_tk`); restore them."""
-    if cls is ExploreConfig and kwargs.get("act_down_val_range_per_tk"):
-        kwargs["act_down_val_range_per_tk"] = {
-            int(k): _list_to_tuple(v) if isinstance(v, list) else v
-            for k, v in kwargs["act_down_val_range_per_tk"].items()
-        }
+    `act_down_val_range_per_tk`); restore them for every field whose type
+    hint is Dict[int, ...]."""
+    import typing
+
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        return kwargs
+    for name, hint in hints.items():
+        if name not in kwargs or not isinstance(kwargs[name], dict):
+            continue
+        args = typing.get_args(_strip_optional(hint))
+        if args and args[0] is int:
+            kwargs[name] = {
+                int(k): _list_to_tuple(v) if isinstance(v, list) else v
+                for k, v in kwargs[name].items()
+            }
     return kwargs
+
+
+def _strip_optional(hint):
+    import typing
+
+    if typing.get_origin(hint) is typing.Union:
+        non_none = [a for a in typing.get_args(hint) if a is not type(None)]
+        if len(non_none) == 1:
+            return non_none[0]
+    return hint
 
 
 def _dataclass_from_dict(cls, d: Dict[str, Any]):

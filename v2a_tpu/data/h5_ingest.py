@@ -105,6 +105,9 @@ def write_randsam_file(
     import h5py
     import os
 
+    if os.path.exists(h5path):
+        # a previous run may have chmodded the file read-only
+        os.chmod(h5path, 0o644)
     with h5py.File(h5path, "w") as f:
         for task, eps in episodes.items():
             for ep_idx, item in enumerate(eps):

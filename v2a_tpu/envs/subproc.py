@@ -46,6 +46,16 @@ def _worker_main(conn, env_factory_name: str, factory_kwargs: dict):
                 payload = getattr(envs, method[len("attr:"):])
             else:
                 payload = getattr(envs, method)(*args, **kwargs)
+            # lifecycle methods may return live env objects (e.g.
+            # LiberoEnvList.init_1_given_env returns the OffScreenRenderEnv,
+            # whose MuJoCo/EGL handles cannot cross a pipe) — verify
+            # picklability up front and ship None instead
+            import pickle
+
+            try:
+                pickle.dumps(payload)
+            except Exception:
+                payload = None
             conn.send((True, payload))
         except Exception as e:  # surface worker errors to the parent
             conn.send((False, f"{type(e).__name__}: {e}"))

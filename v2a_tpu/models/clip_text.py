@@ -163,12 +163,12 @@ class ClipTokenizerWrapper:
         self.max_length = max_length
         self._hf = None
         if local_path:
-            try:
-                from transformers import CLIPTokenizer
+            # an explicitly requested tokenizer must not silently degrade to
+            # the hash stand-in — converted CLIP weights would produce
+            # garbage with mismatched token ids
+            from transformers import CLIPTokenizer
 
-                self._hf = CLIPTokenizer.from_pretrained(local_path)
-            except Exception:
-                self._hf = None
+            self._hf = CLIPTokenizer.from_pretrained(local_path)
         self._fallback = HashTokenizer(max_length)
 
     @property
