@@ -64,6 +64,10 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
+        if c % self.num_groups:
+            raise ValueError(
+                f"channels {c} not divisible by groups {self.num_groups}"
+            )
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         if self.use_pallas:
