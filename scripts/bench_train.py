@@ -74,7 +74,7 @@ def main():
     dt = (time.perf_counter() - t0) / n_iters
 
     print(json.dumps({
-        "metric": "policy_train_steps_per_sec_bs64",
+        "metric": f"policy_train_steps_per_sec_bs{batch}",
         "value": round(1.0 / dt, 3),
         "unit": "steps/s/chip",
         "vs_baseline": None,

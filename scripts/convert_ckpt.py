@@ -20,8 +20,11 @@ from v2a_tpu.convert import torch_import as ti
 
 
 def main(argv=None):
+    from v2a_tpu.config import parse_cli
+
     argv = list(argv if argv is not None else sys.argv[1:])
-    args = dict(zip(argv[::2], argv[1::2]))
+    _, kv = parse_cli(argv)
+    args = {f"--{k}": v for k, v in kv.items()}
     kind = args.get("--kind", "video")
     pt = args.get("--pt")
     out = args.get("--out")

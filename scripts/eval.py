@@ -29,13 +29,16 @@ from v2a_tpu.train.build import build_experiment
 
 
 def main(argv=None):
+    from v2a_tpu.config import parse_cli
+
     argv = list(argv if argv is not None else sys.argv[1:])
-    args = dict(zip(argv[::2], argv[1::2]))
+    _, kv = parse_cli(argv)  # validating: rejects bare tokens/missing values
+    args = {f"--{k}": v for k, v in kv.items()}
     workdir = args.get("--workdir")
     if not workdir:
         raise SystemExit(
             "usage: eval.py --workdir <exp dir> [--n_seeds N] [--epoch E]"
-            " [--vis 0|1] [--eval_seed S]"
+            " [--vis 0|1] [--eval_seed S] [--workers N]"
         )
     cfg = load_snapshot(workdir)
 
@@ -46,10 +49,20 @@ def main(argv=None):
     if "--vis" in args:
         eval_cfg = dataclasses.replace(eval_cfg, vis=bool(int(args["--vis"])))
     eval_seed = int(args.get("--eval_seed", 0))
+    # full eval-time overrides of `plan_lb.py:67-74`: DDIM steps 8,
+    # 8 actions per prediction (clamped to the horizon), ddpm_var_temp 0.5
     cfg = cfg.replace(
-        eval=eval_cfg,
-        policy=dataclasses.replace(cfg.policy, num_inference_steps_ddim=8),
+        eval=dataclasses.replace(
+            eval_cfg, n_acts_per_pred=min(8, cfg.policy.horizon)
+        ),
+        policy=dataclasses.replace(
+            cfg.policy,
+            num_inference_steps_ddim=8,
+            n_action_steps=min(8, cfg.policy.horizon),
+            ddpm_var_temp=0.5,
+        ),
     )
+    eval_cfg = cfg.eval
 
     trainer, policy, env_list, video_model = build_experiment(
         cfg, workdir, snapshot=False

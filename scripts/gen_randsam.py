@@ -21,8 +21,11 @@ from v2a_tpu.envs.registration import make_env_list
 
 
 def main(argv=None):
+    from v2a_tpu.config import parse_cli
+
     argv = list(argv if argv is not None else sys.argv[1:])
-    args = dict(zip(argv[::2], argv[1::2]))
+    _, kv = parse_cli(argv)
+    args = {f"--{k}": v for k, v in kv.items()}
     env_name = args.get("--env", "fake-8tk-v0")
     n_ep = int(args.get("--num_ep_per_task", 5))
     out = args.get("--out", f"data/randsam_{env_name}_perTk{n_ep}.hdf5")

@@ -67,6 +67,8 @@ class PolicyConfig:
     prediction_type: str = "epsilon"
     action_orn01: bool = False
     dtype: str = "float32"
+    # eval-time DDPM sampling temperature (`plan_lb.py:70`)
+    ddpm_var_temp: float = 1.0
 
     @property
     def compute_dtype(self):
@@ -148,6 +150,7 @@ class DiffusionPolicy:
             steps_offset=0,
             prediction_type=config.prediction_type,
         )
+        overrides.setdefault("ddpm_var_temp", config.ddpm_var_temp)
         return cls(
             config=config,
             nets=PolicyNets(config),
