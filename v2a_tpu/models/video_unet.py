@@ -77,16 +77,30 @@ class GroupNorm32(nn.Module):
                 x, scale, bias, self.num_groups, with_silu=self.with_silu,
                 interpret=jax.default_backend() == "cpu",
             )
+        # XLA path: group reductions as (C, G) one-hot matmuls so the
+        # trailing dim stays C — the naive reshape(b, -1, g, c//g) forces
+        # layout copies of the full fp32 tensor (940 MB at level 0; found
+        # via xplane trace, see PERF.md)
         b = x.shape[0]
         g = self.num_groups
-        x32 = x.astype(jnp.float32).reshape(b, -1, g, c // g)
-        mean = x32.mean(axis=(1, 3), keepdims=True)
-        var = x32.var(axis=(1, 3), keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
-        y = y.reshape(x.shape) * scale + bias
+        gw = c // g
+        xf = x.astype(jnp.float32).reshape(b, -1, c)
+        s = xf.shape[1]
+        ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
+        gr = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+        m = (ch // gw == gr).astype(jnp.float32)
+        sum_g = jnp.einsum("bsc,cg->bg", xf, m)
+        sumsq_g = jnp.einsum("bsc,cg->bg", xf * xf, m)
+        n = float(s * gw)
+        mean_g = sum_g / n
+        var_g = jnp.maximum(sumsq_g / n - mean_g * mean_g, 0.0)
+        rstd_g = jax.lax.rsqrt(var_g + 1e-5)
+        mean_c = jnp.einsum("bg,cg->bc", mean_g, m)[:, None, :]
+        rstd_c = jnp.einsum("bg,cg->bc", rstd_g, m)[:, None, :]
+        y = (xf - mean_c) * rstd_c * scale + bias
         if self.with_silu:
             y = nn.silu(y)
-        return y
+        return y.reshape(x.shape)
 
 
 class PseudoConv3d(nn.Module):
