@@ -66,6 +66,10 @@ class GaussianDiffusion:
     ddim_sampling_eta: float = 0.0
     guidance_weight: float = 0.0
     var_temp: float = 1.0
+    # scan unroll factor for the denoise loops: >1 amortizes the per-step
+    # control-table DMA latency the xplane trace exposed (PERF.md) at the
+    # cost of a bigger compiled body
+    scan_unroll: int = 1
     loss_type: str = "l2"
     min_snr_loss_weight: bool = False
     min_snr_gamma: float = 5.0
@@ -248,7 +252,9 @@ class GaussianDiffusion:
             img = mean + jnp.exp(0.5 * log_var) * noise
             return img, None
 
-        img, _ = jax.lax.scan(step, img, (timesteps, step_rngs))
+        img, _ = jax.lax.scan(
+            step, img, (timesteps, step_rngs), unroll=self.scan_unroll
+        )
         return self._unnormalize(img)
 
     # -- DDIM sampling (goal_diffusion.py:601-641) ------------------------
@@ -303,7 +309,9 @@ class GaussianDiffusion:
             img = jnp.where(time_next < 0, x_start, stepped)
             return img, None
 
-        img, _ = jax.lax.scan(step, img, (pairs, step_rngs))
+        img, _ = jax.lax.scan(
+            step, img, (pairs, step_rngs), unroll=self.scan_unroll
+        )
         return self._unnormalize(img)
 
     def sample(
