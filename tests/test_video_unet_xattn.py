@@ -78,3 +78,24 @@ def test_drop_in_with_sampler(net_and_params):
     )
     assert out.shape == (1, 2, 16, 16, 3)
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_backbone_selectable_in_video_model():
+    """VideoModelConfig(backbone='xattn') builds and samples end-to-end."""
+    from v2a_tpu.models.video_model import VideoModelConfig, VideoPredModel
+
+    cfg = VideoModelConfig(
+        image_size=(16, 16), sample_per_seq=3, timesteps=6,
+        sampling_timesteps=3, model_channels=32, channel_mult=(1, 2),
+        num_res_blocks=1, text_dim=64, backbone="xattn",
+    )
+    model = VideoPredModel(cfg)
+    model.init(jax.random.PRNGKey(0))
+    out = model.sample(
+        jax.random.PRNGKey(1),
+        np.zeros((2, 16, 16, 3), np.float32),
+        ["task a", "task b"],
+    )
+    assert out.shape == (2, 2, 16, 16, 3)
+    with pytest.raises(ValueError, match="unknown backbone"):
+        VideoPredModel(VideoModelConfig(backbone="nope"))

@@ -61,6 +61,10 @@ class VideoModelConfig:
     text_dim: int = 512
     dtype: str = "float32"
     use_pallas_gn: bool = False
+    # 'unet' = guided-diffusion family (Perceiver-pooled additive text
+    # conditioning, the Libero release model); 'xattn' = diffusers family
+    # (cross-attention conditioning, SURVEY §2.9 alternative backbone)
+    backbone: str = "unet"
 
     @property
     def video_future_horizon(self) -> int:
@@ -92,18 +96,34 @@ class VideoPredModel:
             )
         cfg = self.config
 
-        self.unet = VideoUNet(
-            in_channels=2 * cfg.channels,
-            model_channels=cfg.model_channels,
-            out_channels=cfg.channels,
-            num_res_blocks=cfg.num_res_blocks,
-            attention_resolutions=tuple(cfg.attention_resolutions),
-            channel_mult=tuple(cfg.channel_mult),
-            num_head_channels=cfg.num_head_channels,
-            task_token_dim=cfg.text_dim,
-            dtype=cfg.compute_dtype,
-            use_pallas_gn=cfg.use_pallas_gn,
-        )
+        if cfg.backbone == "unet":
+            self.unet = VideoUNet(
+                in_channels=2 * cfg.channels,
+                model_channels=cfg.model_channels,
+                out_channels=cfg.channels,
+                num_res_blocks=cfg.num_res_blocks,
+                attention_resolutions=tuple(cfg.attention_resolutions),
+                channel_mult=tuple(cfg.channel_mult),
+                num_head_channels=cfg.num_head_channels,
+                task_token_dim=cfg.text_dim,
+                dtype=cfg.compute_dtype,
+                use_pallas_gn=cfg.use_pallas_gn,
+            )
+        elif cfg.backbone == "xattn":
+            from v2a_tpu.models.video_unet_xattn import VideoUNetXAttn
+
+            self.unet = VideoUNetXAttn(
+                in_channels=2 * cfg.channels,
+                out_channels=cfg.channels,
+                block_out_channels=tuple(
+                    cfg.model_channels * m for m in cfg.channel_mult
+                ),
+                layers_per_block=cfg.num_res_blocks,
+                context_dim=cfg.text_dim,
+                dtype=cfg.compute_dtype,
+            )
+        else:
+            raise ValueError(f"unknown backbone {cfg.backbone!r}")
         self.text_encoder = ClipTextEncoder(
             width=cfg.text_dim,
             mlp_dim=cfg.text_dim * 4,
