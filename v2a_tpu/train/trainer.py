@@ -291,6 +291,9 @@ class OnlineTrainer:
         self.cnt_explo_suc_per_tk = {tk: 0 for tk in env_list.task_list}
         self.h5_randsam_start_idx = 0
         self.is_all_randsam_visited = False
+        # (pred_video, rollout imgs) of the latest guided episode, for the
+        # debug composite
+        self._last_rollout = None
 
     # -- policy access for exploration -----------------------------------
 
@@ -445,6 +448,7 @@ class OnlineTrainer:
             img_start = self.envs.render_an_env(task, cam, env_idx)
             result = self.executor.execute(task, cam, env_idx, img_start, video)
             self.envs.close_1_given_env(task, env_idx)
+            self._last_rollout = (result.pred_video, result.imgs)
 
             self.envBuf_vid.add_episode(
                 task, cam, env_idx, result.imgs, result.acts,
@@ -503,6 +507,7 @@ class OnlineTrainer:
         ])
 
         for (task, env_idx), result in zip(assignments, results):
+            self._last_rollout = (result.pred_video, result.imgs)
             self.envBuf_vid.add_episode(
                 task, cam, env_idx, result.imgs, result.acts,
                 is_success=result.is_success,
@@ -518,8 +523,9 @@ class OnlineTrainer:
 
     def dump_debug_images(self, n: int = 8):
         """Periodic visual artifacts: buffer start/goal pairs and the latest
-        exploration rollout strip (`lb_online_trainer_v7.py:541-583,
-        1266-1284`). Written under workdir/debug/."""
+        exploration pred-video-vs-rollout composite
+        (`lb_online_trainer_v7.py:541-583, 1266-1284`). Written under
+        workdir/debug/."""
         from v2a_tpu.data.img_utils import save_episode_png
 
         out_dir = os.path.join(self.workdir, "debug")
@@ -533,6 +539,17 @@ class OnlineTrainer:
             save_episode_png(
                 os.path.join(out_dir, f"buf_{name}_step{self.step}.png"),
                 pairs,
+            )
+        if self._last_rollout is not None:
+            pred, rollout = self._last_rollout
+            # guidance frames on top, evenly-spaced executed frames below
+            idxs = np.linspace(0, len(rollout) - 1, len(pred)).astype(int)
+            composite = np.concatenate(
+                [pred, rollout[idxs]], axis=1
+            )
+            save_episode_png(
+                os.path.join(out_dir, f"rollout_step{self.step}.png"),
+                composite, max_frames=len(pred),
             )
 
     # -- checkpointing ----------------------------------------------------
