@@ -141,6 +141,14 @@ def main(argv=None):
         num_vid_pred_per_ep=eval_cfg.num_vid_pred_per_ep,
         use_vid_first_n_frames=eval_cfg.use_vid_first_n_frames,
         eval_seed=eval_seed,
+        # metadata fields of the reference result JSON (`plan_lb.py:113-121`)
+        extra={
+            "vid_var_temp": cfg.video.var_temp,
+            "dp_var_temp": cfg.policy.ddpm_var_temp,
+            "vid_diffusion": cfg.video_ckpt_dir,
+            "eval_n_preds_betw_vframes": eval_cfg.eval_n_preds_betw_vframes,
+            "eval_seed": eval_seed,
+        },
     )
     print(f"[eval] suc_rate={results['suc_rate']:.3f} -> {path}")
 
