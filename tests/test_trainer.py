@@ -267,3 +267,38 @@ def test_ema_update_every_is_honored():
     np.testing.assert_array_equal(emas[3], emas[2])
     np.testing.assert_array_equal(emas[4], emas[2])
     assert (emas[5] != emas[2]).any()
+
+
+def test_serial_explore_rollout_scene_matches_video_condition(tmp_path):
+    """Regression: the serial exploration path must roll out in the SAME
+    scene the guidance video was conditioned on. FakeEnvList renders are
+    seed-dependent (object placement from the seed), so re-creating the env
+    with a fresh random seed between the conditioning render and the rollout
+    (the round-1 bug) makes the rollout start frame diverge from the frame
+    fed to the video model (`lb_online_trainer_v7.py:877-919` keeps one env
+    alive throughout)."""
+    trainer = small_trainer(tmp_path, with_video=True)
+
+    captured = {}
+    orig_sample = trainer.video_model.sample
+
+    def spy_sample(rng, imgs01, tasks):
+        captured["cond"] = np.asarray(imgs01).copy()
+        return orig_sample(rng, imgs01, tasks)
+
+    trainer.video_model.sample = spy_sample
+
+    starts = []
+    orig_execute = trainer.executor.execute
+
+    def spy_execute(task, cam, env_idx, img_start, video):
+        starts.append(np.asarray(img_start).copy())
+        return orig_execute(task, cam, env_idx, img_start, video)
+
+    trainer.executor.execute = spy_execute
+
+    trainer.video_guided_explore()
+
+    assert "cond" in captured and starts
+    cond_u8 = np.round(captured["cond"] * 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(np.stack(starts), cond_u8)

@@ -443,8 +443,15 @@ class OnlineTrainer:
         videos_u8 = (np.asarray(videos01) * 255).astype(np.uint8)
 
         for (task, env_idx), video in zip(metas, videos_u8):
-            # fresh env per rollout; seeds re-randomized as in the reference
-            self.envs.init_1_given_env(task, env_idx, is_rand=True)
+            # Re-create the env with the SAME seed that produced the frame
+            # the guidance video was conditioned on: Libero randomizes object
+            # placement per seed, so a fresh random seed here would make the
+            # policy chase goals from a different scene than the one it acts
+            # in (the reference keeps one env alive throughout,
+            # `lb_online_trainer_v7.py:877-919`; the lazy close/reopen around
+            # the batched video call must preserve that scene).
+            seed = self.envs.actual_env_seeds[(task, env_idx)]
+            self.envs.init_1_given_env(task, env_idx, e_seed=seed)
             img_start = self.envs.render_an_env(task, cam, env_idx)
             result = self.executor.execute(task, cam, env_idx, img_start, video)
             self.envs.close_1_given_env(task, env_idx)
