@@ -95,3 +95,169 @@ def test_video_unet_pallas_gn_path_matches_default():
     np.testing.assert_allclose(
         np.asarray(out1), np.asarray(out0), atol=2e-5, rtol=1e-4
     )
+
+
+# -- ResBlock-interior kernels (ops/resblock_kernels.py) ---------------------
+
+
+def _tconv_inputs(b=2, f=4, h=6, w=8, c=128, seed=0, dtype=jnp.float32):
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray(rs.randn(b, f, h, w, c), dtype)
+    kernel = jnp.asarray(rs.randn(3, c, c) * 0.05, jnp.float32)
+    bias = jnp.asarray(rs.randn(c) * 0.1, jnp.float32)
+    emb = jnp.asarray(rs.randn(b, c) * 0.3, jnp.float32)
+    res = jnp.asarray(rs.randn(b, f, h, w, c), dtype)
+    return x, kernel, bias, emb, res
+
+
+def test_temporal_conv_fused_matches_reference():
+    from v2a_tpu.ops.resblock_kernels import (
+        temporal_conv_fused, temporal_conv_reference,
+    )
+
+    x, kernel, bias, emb, res = _tconv_inputs()
+    got = temporal_conv_fused(x, kernel, bias, interpret=True)
+    want = temporal_conv_reference(x, kernel, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_temporal_conv_fused_matches_flax_conv():
+    """The kernel must reproduce the production PseudoConv3d temporal path
+    (flax Conv over the frame axis, zero 'SAME' padding)."""
+    from flax import linen as nn
+    from v2a_tpu.ops.resblock_kernels import temporal_conv_fused
+
+    x, kernel, bias, _, _ = _tconv_inputs(b=1, f=5, h=4, w=4, c=128)
+    b, f, h, w, c = x.shape
+    conv = nn.Conv(c, (3,), padding=1)
+    params = {"params": {"kernel": kernel, "bias": bias}}
+    xt = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+    want = (
+        conv.apply(params, xt)
+        .reshape(b, h, w, f, c)
+        .transpose(0, 3, 1, 2, 4)
+    )
+    got = temporal_conv_fused(x, kernel, bias, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4
+    )
+
+
+def test_temporal_conv_fused_emb_residual_stats():
+    from v2a_tpu.ops.resblock_kernels import (
+        temporal_conv_fused, temporal_conv_reference,
+    )
+
+    x, kernel, bias, emb, res = _tconv_inputs(b=2, f=3, h=4, w=8, c=128)
+    got, stats = temporal_conv_fused(
+        x, kernel, bias, emb=emb, residual=res, want_stats=True,
+        interpret=True,
+    )
+    want = temporal_conv_reference(x, kernel, bias, emb=emb, residual=res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    # stats = per-(B, F, C) sum / sumsq over the spatial positions
+    yf = np.asarray(want, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(stats[:, :, 0]), yf.sum(axis=(2, 3)), rtol=1e-5, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats[:, :, 1]), (yf * yf).sum(axis=(2, 3)),
+        rtol=1e-5, atol=1e-3,
+    )
+
+
+def test_temporal_conv_fused_tile_independent():
+    from v2a_tpu.ops.resblock_kernels import temporal_conv_fused
+
+    x, kernel, bias, emb, _ = _tconv_inputs(b=1, f=3, h=4, w=8, c=128)
+    full = temporal_conv_fused(x, kernel, bias, emb=emb, interpret=True,
+                               tile=32)
+    small = temporal_conv_fused(x, kernel, bias, emb=emb, interpret=True,
+                                tile=4)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(small), atol=1e-5
+    )
+
+
+def test_stats_to_group_affine_reproduces_group_norm():
+    """GN(h)*scale+bias computed via the folded per-channel affine must equal
+    the direct GroupNorm, for stats aggregated over frames."""
+    from v2a_tpu.ops.pallas_kernels import group_norm_silu_reference
+    from v2a_tpu.ops.resblock_kernels import stats_to_group_affine
+
+    rs = np.random.RandomState(3)
+    b, f, h, w, c, g = 2, 3, 4, 4, 128, 32
+    x = jnp.asarray(rs.randn(b, f, h, w, c), jnp.float32)
+    scale = jnp.asarray(rs.rand(c) + 0.5, jnp.float32)
+    bias = jnp.asarray(rs.randn(c), jnp.float32)
+
+    xf = np.asarray(x, np.float32)
+    stats = jnp.asarray(
+        np.stack(
+            [xf.sum(axis=(1, 2, 3)), (xf * xf).sum(axis=(1, 2, 3))], axis=1
+        )
+    )  # (B, 2, C)
+    a, bshift = stats_to_group_affine(stats, scale, bias,
+                                      n_per_channel=f * h * w, groups=g)
+    got = x * a[:, None, None, None, :] + bshift[:, None, None, None, :]
+    want = group_norm_silu_reference(
+        x, scale, bias, groups=g, with_silu=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_video_unet_fused_path_matches_default():
+    """fused=True (Pallas ResBlock interior, interpret mode on CPU) must
+    match the plain path with the same params — same param tree, same math.
+    Channels are 128-multiples so the fused kernel actually engages."""
+    from v2a_tpu.models.video_unet import VideoUNet
+
+    kw = dict(
+        in_channels=6, model_channels=128, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=32,
+        task_token_dim=64,
+    )
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(1, 2, 8, 8, 6), jnp.float32)
+    t = jnp.asarray([5], jnp.int32)
+    tok = jnp.asarray(rs.randn(1, 4, 64), jnp.float32)
+
+    base = VideoUNet(**kw)
+    params = base.init(jax.random.PRNGKey(0), x, t, tok)
+    fused = VideoUNet(fused=True, **kw)
+    params_fused = jax.eval_shape(
+        lambda r: fused.init(r, x, t, tok), jax.random.PRNGKey(0)
+    )
+    assert (
+        jax.tree_util.tree_structure(params)
+        == jax.tree_util.tree_structure(params_fused)
+    ), "fused path must keep the parameter tree identical"
+    out0 = base.apply(params, x, t, tok)
+    out1 = fused.apply(params, x, t, tok)
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_video_unet_fused_scale_shift_matches_default():
+    from v2a_tpu.models.video_unet import VideoUNet
+
+    kw = dict(
+        in_channels=6, model_channels=128, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1, 2), num_head_channels=32,
+        task_token_dim=64, use_scale_shift_norm=True,
+    )
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(1, 2, 8, 8, 6), jnp.float32)
+    t = jnp.asarray([9], jnp.int32)
+    tok = jnp.asarray(rs.randn(1, 4, 64), jnp.float32)
+
+    base = VideoUNet(**kw)
+    params = base.init(jax.random.PRNGKey(0), x, t, tok)
+    out0 = base.apply(params, x, t, tok)
+    out1 = VideoUNet(fused=True, **kw).apply(params, x, t, tok)
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), atol=5e-4, rtol=1e-3
+    )

@@ -32,6 +32,13 @@ from flax import linen as nn
 
 from v2a_tpu.models.perceiver import PerceiverResampler
 
+# Trace-time ablation switches for `scripts/perf_lab.py` ONLY — they change
+# the parameter tree and must stay False in production/tests. They exist so
+# the perf lab can attribute forward-pass time to temporal convs / GroupNorm
+# without forking the model definition.
+PERF_ABLATE_TEMPORAL = False
+PERF_ABLATE_GN = False
+
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
     """[cos | sin] ordering with `arange(half)/half` frequencies
@@ -62,14 +69,34 @@ class GroupNorm32(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, stats: Optional[jax.Array] = None
+    ) -> jax.Array:
         c = x.shape[-1]
         if c % self.num_groups:
             raise ValueError(
                 f"channels {c} not divisible by groups {self.num_groups}"
             )
+        if PERF_ABLATE_GN:  # perf-lab attribution only
+            return nn.silu(x) if self.with_silu else x
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if stats is not None:
+            # (B, 2, C) per-channel sum/sumsq forwarded from the Pallas
+            # temporal-conv kernel that produced x — the full-tensor
+            # statistics read is skipped and GroupNorm collapses to a
+            # per-(B, C) affine that XLA fuses into the consumer.
+            from v2a_tpu.ops.resblock_kernels import stats_to_group_affine
+
+            n_per_channel = 1
+            for d in x.shape[1:-1]:
+                n_per_channel *= d
+            a, bshift = stats_to_group_affine(
+                stats, scale, bias, n_per_channel, self.num_groups
+            )
+            bc = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+            y = x.astype(jnp.float32) * a.reshape(bc) + bshift.reshape(bc)
+            return nn.silu(y) if self.with_silu else y
         if self.use_pallas:
             from v2a_tpu.ops.pallas_kernels import fused_group_norm_silu
 
@@ -103,20 +130,50 @@ class GroupNorm32(nn.Module):
         return y.reshape(x.shape)
 
 
+class _TemporalConvParams(nn.Module):
+    """Parameter container matching nn.Conv's {kernel, bias} layout so the
+    fused Pallas path shares checkpoints with the transpose+conv1d path."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", _dirac_init,
+            (self.kernel_size, self.features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class PseudoConv3d(nn.Module):
     """Factorized space-time conv (`nn.py:30-88`): 2D spatial conv per frame
     followed by a temporal conv over F (identity/dirac init, zero bias) when
     kernel_size > 1. `zero_init` zeroes the spatial conv (the guided-
-    diffusion `zero_module` pattern for output layers)."""
+    diffusion `zero_module` pattern for output layers).
+
+    `fused=True` routes the temporal conv through the Pallas in-layout
+    kernel (`ops/resblock_kernels.py`): no frame transposes, and the
+    embedding add / residual add / downstream GroupNorm statistics fuse into
+    the same HBM write. Parameter tree is identical either way.
+    """
 
     features: int
     kernel_size: int = 3
     spatial_strides: Tuple[int, int] = (1, 1)
     zero_init: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        emb: Optional[jax.Array] = None,
+        residual: Optional[jax.Array] = None,
+        want_stats: bool = False,
+    ):
         b, f, h, w, c = x.shape
         k = self.kernel_size
         kernel_init = (
@@ -131,7 +188,11 @@ class PseudoConv3d(nn.Module):
         )(y)
         nh, nw = y.shape[1], y.shape[2]
         y = y.reshape(b, f, nh, nw, self.features)
-        if k > 1:
+        has_temporal = k > 1 and not PERF_ABLATE_TEMPORAL
+        # the Pallas kernel wants lane-aligned channels; the only narrow
+        # case in the real model is the 3-channel output head
+        use_fused = self.fused and has_temporal and self.features % 128 == 0
+        if has_temporal and not use_fused:
             # temporal conv over F with spatial dims folded into the batch
             # (`nn.py:74-84`). Measured at the production shape
             # (8,7,128,128,128) on a v5e chip: this transpose+conv1d form
@@ -145,6 +206,31 @@ class PseudoConv3d(nn.Module):
                 name="temporal_conv",
             )(t)
             y = t.reshape(b, nh, nw, f, self.features).transpose(0, 3, 1, 2, 4)
+        elif use_fused:
+            from v2a_tpu.ops.resblock_kernels import temporal_conv_fused
+
+            kernel, bias = _TemporalConvParams(
+                self.features, k, name="temporal_conv"
+            )()
+            return temporal_conv_fused(
+                y.astype(self.dtype), kernel, bias, emb=emb,
+                residual=residual, want_stats=want_stats,
+                interpret=jax.default_backend() == "cpu",
+            )
+        # non-fused fallbacks for the extras so callers need no branching
+        if emb is not None:
+            y = y + emb.reshape(b, *([1] * (y.ndim - 2)), self.features).astype(
+                y.dtype
+            )
+        if residual is not None:
+            y = y + residual.astype(y.dtype)
+        if want_stats:
+            yf = y.astype(jnp.float32)
+            stats = jnp.stack(
+                [jnp.sum(yf, axis=(2, 3)), jnp.sum(yf * yf, axis=(2, 3))],
+                axis=2,
+            )  # (B, F, 2, C)
+            return y, stats
         return y
 
 
@@ -159,17 +245,34 @@ def _dirac_init(key, shape, dtype=jnp.float32):
 
 class ResBlock3D(nn.Module):
     """`ResBlock` (`unet.py:148-262`) without up/down fusion (the Libero
-    config uses plain Down/Upsample modules, resblock_updown=False)."""
+    config uses plain Down/Upsample modules, resblock_updown=False).
+
+    `fused=True` (with `stats` optionally forwarded from the producer of x)
+    runs the interior through the Pallas temporal-conv kernel: the
+    emb-add, residual-add, and both GroupNorms' statistics ride the same
+    HBM passes, and the block returns `(out, out_stats)` so the next norm
+    can skip its statistics read too.
+    """
 
     out_channels: int
     dropout: float = 0.0
     use_scale_shift_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     use_pallas_gn: bool = False
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, emb: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        emb: jax.Array,
+        *,
+        stats: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ):
         c = x.shape[-1]
+        if self.fused:
+            return self._fused(x, emb, stats, deterministic)
         h = GroupNorm32(
             with_silu=True, use_pallas=self.use_pallas_gn, name="in_norm"
         )(x).astype(self.dtype)
@@ -207,6 +310,48 @@ class ResBlock3D(nn.Module):
             )(x)
         return x + h
 
+    def _fused(self, x, emb, stats, deterministic):
+        """Same math, Pallas interior. Module names match the plain path so
+        the parameter tree (and converted checkpoints) are identical."""
+        c = x.shape[-1]
+        st_in = jnp.sum(stats, axis=1) if stats is not None else None
+        h = GroupNorm32(
+            with_silu=True, use_pallas=False, name="in_norm"
+        )(x, stats=st_in).astype(self.dtype)
+
+        emb_out = nn.Dense(
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            dtype=self.dtype, name="emb_proj",
+        )(nn.silu(emb.astype(self.dtype)))
+
+        conv_emb = None if self.use_scale_shift_norm else emb_out
+        h, h_stats = PseudoConv3d(
+            self.out_channels, 3, dtype=self.dtype, fused=True, name="in_conv"
+        )(h, emb=conv_emb, want_stats=True)
+
+        st2 = jnp.sum(h_stats, axis=1)  # (B, 2, C) over frames
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out[:, None, None, None, :], 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h, stats=st2)
+            h = h * (1 + scale) + shift
+            h = nn.silu(h).astype(self.dtype)
+        else:
+            h = GroupNorm32(with_silu=True, name="out_norm")(
+                h, stats=st2
+            ).astype(self.dtype)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+
+        if c != self.out_channels:
+            x = PseudoConv3d(
+                self.out_channels, 1, dtype=self.dtype, name="skip_conv"
+            )(x)
+        out, out_stats = PseudoConv3d(
+            self.out_channels, 3, dtype=self.dtype, fused=True,
+            name="out_conv",
+        )(h, residual=x, want_stats=True)
+        return out, out_stats
+
 
 class SpatialAttentionBlock(nn.Module):
     """Per-frame spatial self-attention (`unet.py:263-330`): frames fold
@@ -217,14 +362,19 @@ class SpatialAttentionBlock(nn.Module):
     use_pallas_gn: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, stats: Optional[jax.Array] = None
+    ) -> jax.Array:
         b, f, h, w, c = x.shape
         n_heads = c // self.num_head_channels
         ch = self.num_head_channels
 
         y = x.reshape(b * f, h * w, c)
+        # the attention norm is per (batch, frame) sample (`unet.py:304-309`)
+        # so forwarded per-(B, F, C) stats reshape directly onto it
+        st = stats.reshape(b * f, 2, c) if stats is not None else None
         y_norm = GroupNorm32(use_pallas=self.use_pallas_gn, name="norm")(
-            y
+            y, stats=st
         ).astype(self.dtype)
         qkv = nn.Dense(c * 3, dtype=self.dtype, name="qkv")(y_norm)
         # legacy layout: reshape to heads then split qkv (`unet.py:346-358`)
@@ -249,13 +399,14 @@ class Downsample3D(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, want_stats: bool = False):
         return PseudoConv3d(
             self.features, 3, spatial_strides=(2, 2), dtype=self.dtype,
-            name="conv",
-        )(x)
+            fused=self.fused, name="conv",
+        )(x, want_stats=want_stats)
 
 
 class Upsample3D(nn.Module):
@@ -263,12 +414,15 @@ class Upsample3D(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, want_stats: bool = False):
         b, f, h, w, c = x.shape
         x = jax.image.resize(x, (b, f, h * 2, w * 2, c), method="nearest")
-        return PseudoConv3d(self.features, 3, dtype=self.dtype, name="conv")(x)
+        return PseudoConv3d(
+            self.features, 3, dtype=self.dtype, fused=self.fused, name="conv"
+        )(x, want_stats=want_stats)
 
 
 class VideoUNet(nn.Module):
@@ -288,6 +442,9 @@ class VideoUNet(nn.Module):
     use_scale_shift_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     use_pallas_gn: bool = False
+    # Pallas ResBlock-interior fusion (temporal conv + emb/residual adds +
+    # GroupNorm statistics forwarding); numerically equivalent, TPU-fast
+    fused: bool = False
 
     @nn.compact
     def __call__(
@@ -321,11 +478,21 @@ class VideoUNet(nn.Module):
             emb = emb + pooled
 
         # -- input blocks
+        # In fused mode each (activation, stats) pair travels together: the
+        # Pallas temporal-conv kernels emit per-(B, F, C) sum/sumsq of their
+        # output, which the next GroupNorm consumes instead of re-reading
+        # the tensor. Skip-connection stats concatenate channel-wise just
+        # like the activations. Attention output breaks the chain (st=None,
+        # small tensors at ds 8/16 — the norm recomputes there).
+        fused = self.fused
         hs = []
-        h = PseudoConv3d(mc, 3, dtype=self.dtype, name="in_conv")(
-            x.astype(self.dtype)
+        st = None
+        h = PseudoConv3d(mc, 3, dtype=self.dtype, fused=fused, name="in_conv")(
+            x.astype(self.dtype), want_stats=fused
         )
-        hs.append(h)
+        if fused:
+            h, st = h
+        hs.append((h, st))
         ds = 1
         block_idx = 0
         for level, mult in enumerate(self.channel_mult):
@@ -333,59 +500,85 @@ class VideoUNet(nn.Module):
             for _ in range(self.num_res_blocks):
                 h = ResBlock3D(
                     ch, self.dropout, self.use_scale_shift_norm, self.dtype,
-                    self.use_pallas_gn, name=f"down_res_{block_idx}",
-                )(h, emb, deterministic=deterministic)
+                    self.use_pallas_gn, fused, name=f"down_res_{block_idx}",
+                )(h, emb, stats=st, deterministic=deterministic)
+                if fused:
+                    h, st = h
                 if ds in self.attention_resolutions:
                     h = SpatialAttentionBlock(
                         self.num_head_channels, self.dtype,
                         self.use_pallas_gn, name=f"down_attn_{block_idx}",
-                    )(h)
-                hs.append(h)
+                    )(h, stats=st)
+                    st = None
+                hs.append((h, st))
                 block_idx += 1
             if level != len(self.channel_mult) - 1:
-                h = Downsample3D(ch, self.dtype, name=f"downsample_{level}")(h)
-                hs.append(h)
+                h = Downsample3D(
+                    ch, self.dtype, fused, name=f"downsample_{level}"
+                )(h, want_stats=fused)
+                if fused:
+                    h, st = h
+                hs.append((h, st))
                 ds *= 2
 
         # -- middle
         mid_ch = int(self.channel_mult[-1] * mc)
         h = ResBlock3D(
             mid_ch, self.dropout, self.use_scale_shift_norm, self.dtype,
-            self.use_pallas_gn, name="mid_res0",
-        )(h, emb, deterministic=deterministic)
+            self.use_pallas_gn, fused, name="mid_res0",
+        )(h, emb, stats=st, deterministic=deterministic)
+        if fused:
+            h, st = h
         h = SpatialAttentionBlock(
             self.num_head_channels, self.dtype, self.use_pallas_gn,
             name="mid_attn",
-        )(h)
+        )(h, stats=st)
+        st = None
         h = ResBlock3D(
             mid_ch, self.dropout, self.use_scale_shift_norm, self.dtype,
-            self.use_pallas_gn, name="mid_res1",
-        )(h, emb, deterministic=deterministic)
+            self.use_pallas_gn, fused, name="mid_res1",
+        )(h, emb, stats=st, deterministic=deterministic)
+        if fused:
+            h, st = h
 
         # -- output blocks
         block_idx = 0
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             ch = int(mult * mc)
             for i in range(self.num_res_blocks + 1):
-                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                skip, skip_st = hs.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                if st is not None and skip_st is not None:
+                    st = jnp.concatenate([st, skip_st], axis=-1)
+                else:
+                    st = None
                 h = ResBlock3D(
                     ch, self.dropout, self.use_scale_shift_norm, self.dtype,
-                    self.use_pallas_gn, name=f"up_res_{block_idx}",
-                )(h, emb, deterministic=deterministic)
+                    self.use_pallas_gn, fused, name=f"up_res_{block_idx}",
+                )(h, emb, stats=st, deterministic=deterministic)
+                if fused:
+                    h, st = h
                 if ds in self.attention_resolutions:
                     h = SpatialAttentionBlock(
                         self.num_head_channels, self.dtype,
                         self.use_pallas_gn, name=f"up_attn_{block_idx}",
-                    )(h)
+                    )(h, stats=st)
+                    st = None
                 if level and i == self.num_res_blocks:
-                    h = Upsample3D(ch, self.dtype, name=f"upsample_{level}")(h)
+                    h = Upsample3D(
+                        ch, self.dtype, fused, name=f"upsample_{level}"
+                    )(h, want_stats=fused)
+                    if fused:
+                        h, st = h
                     ds //= 2
                 block_idx += 1
         assert not hs
 
+        st2 = jnp.sum(st, axis=1) if st is not None else None
         h = GroupNorm32(
-            with_silu=True, use_pallas=self.use_pallas_gn, name="out_norm"
-        )(h).astype(self.dtype)
+            with_silu=True, use_pallas=self.use_pallas_gn and not fused,
+            name="out_norm",
+        )(h, stats=st2).astype(self.dtype)
         h = PseudoConv3d(
             self.out_channels, 3, dtype=self.dtype, name="out_conv"
         )(h)

@@ -1,0 +1,267 @@
+"""Pallas TPU kernels for the video U-Net ResBlock interior.
+
+The reference ResBlock (`.../guided_diffusion/unet.py:148-261`) chains
+GroupNorm -> SiLU -> conv -> temporal conv -> emb-add -> GroupNorm -> SiLU ->
+conv -> temporal conv -> residual-add. On TPU the spatial 3x3 convs run at
+the MXU's speed of light under XLA (PERF.md cost model), but round 1 measured
+~140 ms of the 188 ms forward in the glue BETWEEN convs — dominated by the
+temporal conv's transpose->conv1d->transpose round trips and GroupNorm's
+extra statistics passes.
+
+This module removes those passes:
+
+- `temporal_conv_fused`: the 3-tap temporal conv (full CxC channel mixing per
+  tap, `.../guided_diffusion/nn.py:30-88`) computed directly on the
+  (B, F, S, C) layout. Each grid block holds all F frames, so the F-axis
+  halo is free and the op is ONE read + ONE write instead of the six
+  transpose/gemm passes XLA emits for the transpose formulation. The
+  timestep-embedding add (`unet.py:232`), the residual add (`unet.py:261`),
+  and the conv bias all fuse into the same write.
+- a per-(B, F, C) sum/sumsq side output ("stats") accumulated from the
+  values actually written (post bf16 rounding), which downstream GroupNorms
+  consume to skip their own full-tensor statistics read — see
+  `GroupNorm32`'s `stats` argument. Per-frame granularity makes the same
+  stats tensor usable both by ResBlock norms (aggregate over F) and by the
+  per-frame attention norms (`unet.py:304-309`).
+
+Layout contract: x is (B, F, S, C) with C a multiple of 128; S a power of
+two (the U-Net's folded H*W). Weights use the flax Conv temporal layout
+(k, C_in, C_out) reshaped to (k*C_in, C_out) by the caller-facing wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(s: int, c: int, budget_bytes: int = 1024 * 1024) -> int:
+    """Largest power-of-two tile of S whose (F, tile, C) bf16 block stays
+    within budget (S is a power of two at every U-Net level)."""
+    max_rows = max(budget_bytes // (c * 2 * 7), 8)
+    tile = 1
+    while tile * 2 <= s and tile * 2 <= max_rows:
+        tile *= 2
+    while s % tile:
+        tile //= 2
+    return max(tile, 1)
+
+
+def _tconv_kernel(
+    *refs,
+    frames: int,
+    has_emb: bool,
+    has_res: bool,
+    want_stats: bool,
+):
+    """One (1, F, tile, C) block: per-frame 3-tap temporal conv as a single
+    (tile, 3C) x (3C, C) matmul, fused adds, optional stats accumulation."""
+    idx = 0
+    x_ref = refs[idx]; idx += 1
+    w_ref = refs[idx]; idx += 1
+    b_ref = refs[idx]; idx += 1
+    emb_ref = None
+    res_ref = None
+    if has_emb:
+        emb_ref = refs[idx]; idx += 1
+    if has_res:
+        res_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1
+    stats_ref = refs[idx] if want_stats else None
+
+    j = pl.program_id(1)
+    x = x_ref[0]  # (F, tile, C)
+    w = w_ref[:]  # (3C, C)
+    c = x.shape[-1]
+    zeros = jnp.zeros(x.shape[1:], x.dtype)  # (tile, C)
+    bias = b_ref[0].astype(jnp.float32)  # (C,) as (1, C) row
+    if has_emb:
+        bias = bias + emb_ref[0].astype(jnp.float32)
+
+    for f in range(frames):
+        xm1 = x[f - 1] if f > 0 else zeros
+        xp1 = x[f + 1] if f < frames - 1 else zeros
+        cat = jnp.concatenate([xm1, x[f], xp1], axis=-1)  # (tile, 3C)
+        y = jax.lax.dot_general(
+            cat, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + bias[None, :]
+        if has_res:
+            y = y + res_ref[0, f].astype(jnp.float32)
+        y16 = y.astype(o_ref.dtype)
+        o_ref[0, f] = y16
+        if want_stats:
+            yf = y16.astype(jnp.float32)
+            row = jnp.stack(
+                [jnp.sum(yf, axis=0), jnp.sum(yf * yf, axis=0)], axis=0
+            )  # (2, C)
+
+            @pl.when(j == 0)
+            def _():
+                stats_ref[0, f] = row
+
+            @pl.when(j > 0)
+            def _():
+                stats_ref[0, f] = stats_ref[0, f] + row
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("want_stats", "interpret", "tile"),
+)
+def temporal_conv_fused(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    emb: Optional[jax.Array] = None,
+    residual: Optional[jax.Array] = None,
+    want_stats: bool = False,
+    interpret: bool = False,
+    tile: Optional[int] = None,
+):
+    """y = temporal_conv(x) + bias [+ emb] [+ residual], optionally with the
+    per-(B, F, C) sum/sumsq statistics of y as a second output.
+
+    Args:
+      x: (B, F, H, W, C) or (B, F, S, C) activations.
+      kernel: (k, C_in, C_out) flax temporal-conv kernel, k odd (3), C_in ==
+        C_out == C.
+      bias: (C,).
+      emb: optional (B, C) per-sample channel offsets (the timestep/task
+        embedding projection), added after the conv.
+      residual: optional array broadcastable to x's shape, added last.
+    Returns:
+      y with x's shape [, stats (B, F, 2, C) float32].
+    """
+    orig_shape = x.shape
+    b, f = orig_shape[0], orig_shape[1]
+    c = orig_shape[-1]
+    s = 1
+    for d in orig_shape[2:-1]:
+        s *= d
+    k = kernel.shape[0]
+    if kernel.shape[1] != c or kernel.shape[2] != c:
+        raise ValueError(f"temporal conv must be CxC, got {kernel.shape}")
+    if k != 3:
+        raise NotImplementedError("3-tap temporal convs only")
+
+    x4 = x.reshape(b, f, s, c)
+    tile = tile or _pick_tile(s, c)
+    if s % tile:
+        raise ValueError(f"tile {tile} must divide folded spatial size {s}")
+    n_tiles = s // tile
+
+    w2d = kernel.reshape(k * c, c).astype(x.dtype)
+    in_specs = [
+        pl.BlockSpec((1, f, tile, c), lambda i, j: (i, 0, j, 0)),
+        pl.BlockSpec((k * c, c), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+    ]
+    args = [x4, w2d, bias.reshape(1, c)]
+    if emb is not None:
+        in_specs.append(pl.BlockSpec((1, c), lambda i, j: (i, 0)))
+        args.append(emb.reshape(b, c))
+    if residual is not None:
+        residual = jnp.broadcast_to(residual, orig_shape).astype(x.dtype)
+        in_specs.append(pl.BlockSpec((1, f, tile, c), lambda i, j: (i, 0, j, 0)))
+        args.append(residual.reshape(b, f, s, c))
+
+    out_shapes = [jax.ShapeDtypeStruct((b, f, s, c), x.dtype)]
+    out_specs = [pl.BlockSpec((1, f, tile, c), lambda i, j: (i, 0, j, 0))]
+    if want_stats:
+        out_shapes.append(jax.ShapeDtypeStruct((b, f, 2, c), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, f, 2, c), lambda i, j: (i, 0, 0, 0)))
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _tconv_kernel,
+            frames=f,
+            has_emb=emb is not None,
+            has_res=residual is not None,
+            want_stats=want_stats,
+        ),
+        grid=(b, n_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs if want_stats else out_specs[0],
+        out_shape=out_shapes if want_stats else out_shapes[0],
+        interpret=interpret,
+    )(*args)
+
+    if want_stats:
+        y, stats = outs
+        return y.reshape(orig_shape), stats
+    return outs.reshape(orig_shape)
+
+
+def temporal_conv_reference(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    emb: Optional[jax.Array] = None,
+    residual: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Plain-XLA reference: zero-padded 3-tap conv over the frame axis with
+    full channel mixing (flax Conv semantics on (B*S, F, C))."""
+    b, f = x.shape[0], x.shape[1]
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    k = kernel.shape[0]
+    pad = k // 2
+    xp = jnp.pad(xf, [(0, 0), (pad, pad)] + [(0, 0)] * (x.ndim - 2))
+    y = jnp.zeros_like(xf)
+    for t in range(k):
+        y = y + jnp.einsum(
+            "b f ... c, c d -> b f ... d",
+            jax.lax.slice_in_dim(xp, t, t + f, axis=1),
+            kernel[t].astype(jnp.float32),
+        )
+    y = y + bias.astype(jnp.float32)
+    if emb is not None:
+        e = emb.reshape(b, *([1] * (x.ndim - 2)), c)
+        y = y + e.astype(jnp.float32)
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def stats_to_group_affine(
+    stats: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    n_per_channel: int,
+    groups: int = 32,
+    eps: float = 1e-5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fold GroupNorm statistics + affine params into per-(B, C) scale/shift.
+
+    Given per-(B, C) sum/sumsq stats of a tensor h (shape (B, 2, C),
+    already aggregated over all non-batch non-channel axes), GroupNorm over
+    (S, C/G) per sample followed by the affine collapses to `y = h * A + B`
+    with A, B per (batch, channel) — a pure elementwise map that XLA fuses
+    into the consumer. `n_per_channel` is the number of elements summed per
+    channel entry.
+    """
+    c = stats.shape[-1]
+    gw = c // groups
+    sums = stats[:, 0, :]  # (B, C)
+    sumsqs = stats[:, 1, :]
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    m = (ch // gw == gr).astype(jnp.float32)  # (C, G)
+    n = float(n_per_channel * gw)
+    sum_g = sums @ m
+    sumsq_g = sumsqs @ m
+    mean_g = sum_g / n
+    var_g = jnp.maximum(sumsq_g / n - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = mean_g @ m.T  # (B, C)
+    rstd_c = rstd_g @ m.T
+    a = rstd_c * scale.astype(jnp.float32)[None, :]
+    bshift = bias.astype(jnp.float32)[None, :] - mean_c * a
+    return a, bshift
