@@ -1,0 +1,289 @@
+"""Golden parity: ops/guided_diffusion_core.py vs the reference's vendored
+OpenAI guided-diffusion (`flowdiffusion/flowdiffusion/guided_diffusion/
+guided_diffusion/{gaussian_diffusion,losses,respace}.py`), imported live.
+
+A shared analytic toy model (channels-first in torch, channels-last in jax)
+drives both implementations with identical inputs; learned-variance
+posteriors, VLB losses, DDIM chains, and respacing must agree to float32
+tolerance.
+"""
+
+import importlib
+import math
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from v2a_tpu.ops.guided_diffusion_core import (
+    GuidedDiffusion,
+    named_beta_schedule,
+    space_timesteps,
+    spaced_diffusion,
+)
+
+PKG_DIR = (
+    "/root/reference/flowdiffusion/flowdiffusion/guided_diffusion/"
+    "guided_diffusion"
+)
+
+
+def _load_ref():
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir(PKG_DIR):
+        pytest.skip("reference checkout not available")
+    if "gd_ref" not in sys.modules:
+        pkg = types.ModuleType("gd_ref")
+        pkg.__path__ = [PKG_DIR]
+        sys.modules["gd_ref"] = pkg
+    gd = importlib.import_module("gd_ref.gaussian_diffusion")
+    respace = importlib.import_module("gd_ref.respace")
+    return torch, gd, respace
+
+
+B, C, H, W = 2, 4, 6, 6
+T_STEPS = 20
+
+
+def _toy_model_np(x_nchw: np.ndarray, t: np.ndarray, learned: bool):
+    """Analytic model shared by both frameworks (numpy ground truth).
+    x: (B, C, H, W); returns (B, 2C or C, H, W)."""
+    tt = t.reshape(-1, 1, 1, 1).astype(np.float32)
+    mean = 0.1 * x_nchw * np.cos(0.05 * tt) + 0.01 * tt / T_STEPS
+    if not learned:
+        return mean
+    var = np.tanh(0.5 * x_nchw) * 0.3
+    return np.concatenate([mean, var], axis=1)
+
+
+class _TorchToy:
+    def __init__(self, torch, learned):
+        self.torch = torch
+        self.learned = learned
+        self.calls = []
+
+    def parameters(self):
+        # device probing in the reference's sample loops
+        return iter([self.torch.zeros(1)])
+
+    def __call__(self, x, t, **kw):
+        self.calls.append(np.asarray(t.detach().cpu()).copy())
+        out = _toy_model_np(
+            x.detach().cpu().numpy(),
+            t.detach().cpu().numpy().astype(np.float64),
+            self.learned,
+        )
+        return self.torch.from_numpy(out.astype(np.float32))
+
+
+def _jax_toy(learned):
+    def fn(x_nhwc, t, **kw):
+        # same math, channels-last
+        tt = t.reshape(-1, 1, 1, 1).astype(jnp.float32)
+        mean = 0.1 * x_nhwc * jnp.cos(0.05 * tt) + 0.01 * tt / T_STEPS
+        if not learned:
+            return mean
+        var = jnp.tanh(0.5 * x_nhwc) * 0.3
+        return jnp.concatenate([mean, var], axis=-1)
+    return fn
+
+
+def _nchw(x_nhwc):
+    return np.transpose(np.asarray(x_nhwc), (0, 3, 1, 2))
+
+
+def _make_pair(gd, mean_type, var_type, schedule="cosine"):
+    betas = named_beta_schedule(schedule, T_STEPS)
+    ref = gd.GaussianDiffusion(
+        betas=betas,
+        model_mean_type={
+            "eps": gd.ModelMeanType.EPSILON,
+            "xstart": gd.ModelMeanType.START_X,
+            "xprev": gd.ModelMeanType.PREVIOUS_X,
+        }[mean_type],
+        model_var_type={
+            "fixed_small": gd.ModelVarType.FIXED_SMALL,
+            "fixed_large": gd.ModelVarType.FIXED_LARGE,
+            "learned": gd.ModelVarType.LEARNED,
+            "learned_range": gd.ModelVarType.LEARNED_RANGE,
+        }[var_type],
+        loss_type=gd.LossType.MSE,
+    )
+    ours = GuidedDiffusion.create(betas, mean_type, var_type, "mse")
+    return ref, ours
+
+
+@pytest.mark.parametrize(
+    "mean_type,var_type",
+    [
+        ("eps", "fixed_small"),
+        ("eps", "fixed_large"),
+        ("eps", "learned_range"),
+        ("xstart", "learned"),
+        ("xprev", "fixed_small"),
+    ],
+)
+def test_p_mean_variance_parity(mean_type, var_type):
+    torch, gd, _ = _load_ref()
+    ref, ours = _make_pair(gd, mean_type, var_type)
+    learned = var_type in ("learned", "learned_range")
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(B, H, W, C).astype(np.float32)
+    for t_val in (0, 3, T_STEPS - 1):
+        t_np = np.full((B,), t_val, np.int64)
+        out_ref = ref.p_mean_variance(
+            _TorchToy(torch, learned),
+            torch.from_numpy(_nchw(x)),
+            torch.from_numpy(t_np),
+            clip_denoised=True,
+        )
+        out_jax = ours.p_mean_variance(
+            _jax_toy(learned), jnp.asarray(x), jnp.asarray(t_np, jnp.int32),
+            clip_denoised=True,
+        )
+        for key in ("mean", "variance", "log_variance", "pred_xstart"):
+            np.testing.assert_allclose(
+                _nchw(out_jax[key]),
+                out_ref[key].numpy(),
+                atol=2e-5, rtol=2e-5, err_msg=f"{key} t={t_val}",
+            )
+
+
+@pytest.mark.parametrize("var_type", ["fixed_small", "learned_range"])
+def test_vb_terms_and_training_losses_parity(var_type):
+    torch, gd, _ = _load_ref()
+    ref, ours = _make_pair(gd, "eps", var_type)
+    learned = var_type == "learned_range"
+
+    rs = np.random.RandomState(1)
+    x0 = (rs.rand(B, H, W, C).astype(np.float32) * 2 - 1)
+    noise = rs.randn(B, H, W, C).astype(np.float32)
+    t_np = np.array([0, T_STEPS // 2], np.int64)
+
+    xt_ref = ref.q_sample(
+        torch.from_numpy(_nchw(x0)), torch.from_numpy(t_np),
+        noise=torch.from_numpy(_nchw(noise)),
+    )
+    xt_jax = ours.q_sample(
+        jnp.asarray(x0), jnp.asarray(t_np, jnp.int32), jnp.asarray(noise)
+    )
+    np.testing.assert_allclose(_nchw(xt_jax), xt_ref.numpy(), atol=1e-5)
+
+    vb_ref = ref._vb_terms_bpd(
+        _TorchToy(torch, learned), torch.from_numpy(_nchw(x0)), xt_ref,
+        torch.from_numpy(t_np), clip_denoised=False,
+    )
+    vb_jax = ours.vb_terms_bpd(
+        _jax_toy(learned), jnp.asarray(x0), xt_jax,
+        jnp.asarray(t_np, jnp.int32), clip_denoised=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(vb_jax["output"]), vb_ref["output"].numpy(),
+        atol=3e-5, rtol=1e-4,
+    )
+
+    losses_ref = ref.training_losses(
+        _TorchToy(torch, learned), torch.from_numpy(_nchw(x0)),
+        torch.from_numpy(t_np), noise=torch.from_numpy(_nchw(noise)),
+    )
+    losses_jax = ours.training_losses(
+        _jax_toy(learned), jax.random.PRNGKey(0), jnp.asarray(x0),
+        jnp.asarray(t_np, jnp.int32), noise=jnp.asarray(noise),
+    )
+    for key in losses_ref:
+        np.testing.assert_allclose(
+            np.asarray(losses_jax[key]), losses_ref[key].numpy(),
+            atol=3e-5, rtol=1e-4, err_msg=key,
+        )
+
+
+def test_ddim_chain_parity_including_respacing():
+    """Deterministic (eta=0) DDIM chains must match end-to-end, both on the
+    base process and on a ddim5-respaced SpacedDiffusion."""
+    torch, gd, respace = _load_ref()
+    learned = True
+    rs = np.random.RandomState(2)
+    x_T = rs.randn(B, H, W, C).astype(np.float32)
+
+    # base process
+    ref, ours = _make_pair(gd, "eps", "learned_range")
+    out_ref = ref.ddim_sample_loop(
+        _TorchToy(torch, learned), (B, C, H, W),
+        noise=torch.from_numpy(_nchw(x_T)), eta=0.0,
+    )
+    out_jax = ours.ddim_sample_loop(
+        _jax_toy(learned), jax.random.PRNGKey(0), (B, H, W, C),
+        noise=jnp.asarray(x_T), eta=0.0,
+    )
+    np.testing.assert_allclose(
+        _nchw(out_jax), out_ref.numpy(), atol=1e-4, rtol=1e-4
+    )
+
+    # respaced process: betas re-derivation + timestep_map + model remap
+    betas = named_beta_schedule("cosine", T_STEPS)
+    use = space_timesteps(T_STEPS, "ddim5")
+    ref_sp = respace.SpacedDiffusion(
+        use_timesteps=use, betas=betas,
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.LEARNED_RANGE,
+        loss_type=gd.LossType.MSE,
+    )
+    ours_sp = spaced_diffusion(use, betas, "eps", "learned_range", "mse")
+    np.testing.assert_allclose(
+        np.asarray(ours_sp.betas), ref_sp.betas.astype(np.float32), atol=1e-7
+    )
+    assert list(np.asarray(ours_sp.timestep_map)) == ref_sp.timestep_map
+
+    toy = _TorchToy(torch, learned)
+    out_ref = ref_sp.ddim_sample_loop(
+        toy, (B, C, H, W), noise=torch.from_numpy(_nchw(x_T)), eta=0.0,
+    )
+    out_jax = ours_sp.ddim_sample_loop(
+        _jax_toy(learned), jax.random.PRNGKey(0), (B, H, W, C),
+        noise=jnp.asarray(x_T), eta=0.0,
+    )
+    # the wrapped model must have been fed ORIGINAL-process timesteps
+    assert {int(t[0]) for t in toy.calls} == set(ref_sp.timestep_map)
+    np.testing.assert_allclose(
+        _nchw(out_jax), out_ref.numpy(), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_ancestral_statistics_and_bpd_shapes():
+    """Stochastic paths: p_sample with the same injected noise via mean/var
+    equality (covered above); here sanity-check p_sample_loop runs and
+    calc_bpd_loop's bookkeeping identity total = sum(vb) + prior."""
+    # NB not "linear": the Ho-et-al linear schedule extended to T=20 ends at
+    # beta=1.0 (alpha_bar=0), which makes 1/alpha_bar inf in the reference too
+    betas = named_beta_schedule("cosine", T_STEPS)
+    ours = GuidedDiffusion.create(betas, "eps", "learned_range", "rescaled_mse")
+    x0 = jnp.asarray(
+        np.random.RandomState(3).rand(B, H, W, C).astype(np.float32) * 2 - 1
+    )
+    out = ours.p_sample_loop(
+        _jax_toy(True), jax.random.PRNGKey(1), (B, H, W, C)
+    )
+    assert out.shape == (B, H, W, C) and np.isfinite(np.asarray(out)).all()
+    bpd = ours.calc_bpd_loop(_jax_toy(True), jax.random.PRNGKey(2), x0)
+    assert bpd["vb"].shape == (B, T_STEPS)
+    np.testing.assert_allclose(
+        np.asarray(bpd["total_bpd"]),
+        np.asarray(bpd["vb"]).sum(1) + np.asarray(bpd["prior_bpd"]),
+        rtol=1e-5,
+    )
+
+
+def test_space_timesteps_sections():
+    # 300 steps, sections [10, 15, 20] — the docstring example
+    got = space_timesteps(300, [10, 15, 20])
+    assert len(got) == 45
+    got_str = space_timesteps(300, "10,15,20")
+    assert got == got_str
+    with pytest.raises(ValueError):
+        space_timesteps(10, [20])

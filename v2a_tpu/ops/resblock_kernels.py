@@ -74,6 +74,7 @@ def _tconv_kernel(
     o_ref = refs[idx]; idx += 1
     stats_ref = refs[idx] if want_stats else None
 
+    i = pl.program_id(0)
     j = pl.program_id(1)
     x = x_ref[0]  # (F, tile, C)
     w = w_ref[:]  # (3C, C)
@@ -81,7 +82,14 @@ def _tconv_kernel(
     zeros = jnp.zeros(x.shape[1:], x.dtype)  # (tile, C)
     bias = b_ref[0].astype(jnp.float32)  # (C,) as (1, C) row
     if has_emb:
-        bias = bias + emb_ref[0].astype(jnp.float32)
+        # emb rides in as the full (B, C) array (a (1, C) block would break
+        # Mosaic's sublane tiling rule, and a dynamic sublane index must be
+        # 8-aligned) — select this batch row with a one-hot mask + reduce
+        e = emb_ref[:].astype(jnp.float32)  # (B, C)
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, e.shape, 0) == i
+        ).astype(jnp.float32)
+        bias = bias + jnp.sum(e * sel, axis=0)
 
     for f in range(frames):
         xm1 = x[f - 1] if f > 0 else zeros
@@ -165,7 +173,7 @@ def temporal_conv_fused(
     ]
     args = [x4, w2d, bias.reshape(1, c)]
     if emb is not None:
-        in_specs.append(pl.BlockSpec((1, c), lambda i, j: (i, 0)))
+        in_specs.append(pl.BlockSpec((b, c), lambda i, j: (0, 0)))
         args.append(emb.reshape(b, c))
     if residual is not None:
         residual = jnp.broadcast_to(residual, orig_shape).astype(x.dtype)
