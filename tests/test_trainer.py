@@ -302,3 +302,52 @@ def test_serial_explore_rollout_scene_matches_video_condition(tmp_path):
     assert "cond" in captured and starts
     cond_u8 = np.round(captured["cond"] * 255.0).astype(np.uint8)
     np.testing.assert_array_equal(np.stack(starts), cond_u8)
+
+
+def test_prefetch_iterator_error_propagation():
+    from v2a_tpu.parallel.prefetch import PrefetchIterator
+
+    def boom():
+        raise RuntimeError("sample failed")
+
+    with PrefetchIterator(boom, depth=2) as it:
+        with pytest.raises(RuntimeError, match="sample failed"):
+            next(it)
+
+
+def test_prefetch_flushed_around_buffer_mutations(tmp_path):
+    """The prefetcher must be stopped before exploration/ingestion mutate
+    the replay buffers (stale in-flight batches are dropped), then restarted
+    for the train step."""
+    trainer = small_trainer(tmp_path, with_video=True)
+    assert trainer.cfg.prefetch_depth > 0  # default-on
+
+    states = {"explore": [], "ingest": []}
+    orig_explore = trainer.video_guided_explore
+    orig_ingest = trainer.ingest_h5
+
+    def spy_explore(*a, **k):
+        states["explore"].append(trainer._prefetch is None)
+        return orig_explore(*a, **k)
+
+    def spy_ingest(*a, **k):
+        states["ingest"].append(trainer._prefetch is None)
+        return orig_ingest(*a, **k)
+
+    trainer.video_guided_explore = spy_explore
+    trainer.ingest_h5 = spy_ingest
+    trainer.train(8)
+
+    # the loop reached both exploration kinds, and the prefetcher was
+    # flushed (None) every time a mutation ran
+    assert states["explore"] and all(states["explore"])
+    # ingest_h5 also runs once pre-loop for the initial fill
+    assert len(states["ingest"]) >= 2 and all(states["ingest"])
+    assert trainer._prefetch is None  # flushed on exit
+
+
+def test_train_prefetch_off_matches_semantics(tmp_path):
+    """prefetch_depth=0 keeps the synchronous path working."""
+    trainer = small_trainer(tmp_path, with_video=False, prefetch_depth=0)
+    trainer.train(4)
+    assert trainer.step == 4

@@ -101,6 +101,12 @@ class TrainerConfig:
     live_rand_ep_len: int = 120
     # debug image dumps every N steps (0 = off)
     debug_img_freq: int = 0
+    # host->HBM prefetch depth: batch t+1 is sampled and transferred while
+    # step t runs (replaces the reference's synchronous `.to(device)` at
+    # `lb_online_trainer_v7.py:586`); 0 = synchronous. The prefetcher is
+    # flushed around exploration / H5 ingestion since those mutate the
+    # buffers being sampled.
+    prefetch_depth: int = 2
     # also checkpoint the replay buffers (beyond the reference, whose resume
     # restarts buffer filling)
     checkpoint_buffers: bool = False
@@ -294,6 +300,7 @@ class OnlineTrainer:
         # (pred_video, rollout imgs) of the latest guided episode, for the
         # debug composite
         self._last_rollout = None
+        self._prefetch = None
 
     # -- policy access for exploration -----------------------------------
 
@@ -357,18 +364,20 @@ class OnlineTrainer:
                 self.envBuf_rand.add_episode(task, cam, env_idx, imgs, acts)
                 self.num_steps_in_env += len(acts)
 
-    def sample_from_bufs(self) -> Dict[str, np.ndarray]:
+    def sample_from_bufs(self, np_rng=None) -> Dict[str, np.ndarray]:
         """Mixed-buffer sampling (`sample_from_bufs`
-        `lb_online_trainer_v7.py:787-851`)."""
+        `lb_online_trainer_v7.py:787-851`). `np_rng` overrides the trainer's
+        generator (the prefetch worker thread passes its own)."""
         cfg = self.cfg
+        rng = np_rng if np_rng is not None else self.np_rng
         bs = cfg.buf_sample_batch_size
         if len(self.envBuf_vid) == 0:
-            return self.envBuf_rand.sample_batch(bs, self.np_rng)
+            return self.envBuf_rand.sample_batch(bs, rng)
         if len(self.envBuf_rand) == 0:
-            return self.envBuf_vid.sample_batch(bs, self.np_rng)
+            return self.envBuf_vid.sample_batch(bs, rng)
 
         if cfg.buf_sample_method == "rand_prob":
-            probs = self.np_rng.uniform(size=bs)
+            probs = rng.uniform(size=bs)
             n_rands = int((probs < cfg.buf_sample_randBuf_prob).sum())
         elif cfg.buf_sample_method == "iter_bias_fix":
             ratio = (
@@ -382,9 +391,9 @@ class OnlineTrainer:
         n_vids = bs - n_rands
         parts = []
         if n_rands:
-            parts.append(self.envBuf_rand.sample_batch(n_rands, self.np_rng))
+            parts.append(self.envBuf_rand.sample_batch(n_rands, rng))
         if n_vids:
-            parts.append(self.envBuf_vid.sample_batch(n_vids, self.np_rng))
+            parts.append(self.envBuf_vid.sample_batch(n_vids, rng))
         return merge_batches(parts) if len(parts) > 1 else parts[0]
 
     def to_device_batch(self, host_batch: Dict[str, np.ndarray]):
@@ -609,6 +618,38 @@ class OnlineTrainer:
 
     # -- the loop ---------------------------------------------------------
 
+    def _sample_device_batch(self, np_rng=None):
+        """One ready-to-train device batch (incl. grad-accum stacking)."""
+        ga = self.cfg.gradient_accumulate_every
+        if ga == 1:
+            return self.to_device_batch(self.sample_from_bufs(np_rng))
+        micro = [
+            self.to_device_batch(self.sample_from_bufs(np_rng))
+            for _ in range(ga)
+        ]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *micro
+        )
+
+    def _start_prefetch(self):
+        if self.cfg.prefetch_depth > 0 and self._prefetch is None:
+            from v2a_tpu.parallel.prefetch import PrefetchIterator
+
+            # dedicated RNG: the worker thread must not share the trainer's
+            # numpy generator with the main thread
+            pf_rng = np.random.default_rng(
+                int(self.np_rng.integers(0, 2**63 - 1))
+            )
+            self._prefetch = PrefetchIterator(
+                lambda: self._sample_device_batch(pf_rng), depth=self.cfg.prefetch_depth
+            )
+
+    def _flush_prefetch(self):
+        """Stop and drain in-flight batches; call before mutating buffers."""
+        if self._prefetch is not None:
+            self._prefetch.stop()
+            self._prefetch = None
+
     def train(self, n_steps: Optional[int] = None):
         cfg = self.cfg
         n_steps = n_steps or cfg.n_train_steps
@@ -621,24 +662,37 @@ class OnlineTrainer:
             else:
                 self.live_rand_explore(max(cfg.num_init_rand_ep_per_tk // 25, 1))
 
+        try:
+            self._train_loop(cfg, n_steps, timer)
+        finally:
+            self._flush_prefetch()
+
+    def _train_loop(self, cfg, n_steps, timer):
         while self.step < n_steps:
             step = self.step
             self.iter_sched.update(step)
             self.throttle.update(len(self.envBuf_rand), len(self.envBuf_vid))
 
-            if (
+            do_vid_explore = (
                 self.video_model is not None
                 and step > cfg.init_rand_steps
                 and step % cfg.video_explo_freq == 0
                 and self.throttle.explo_type_vid == "explo"
-            ):
-                self.video_guided_explore()
-
-            if (
+            )
+            do_rand_explore = (
                 step > cfg.init_rand_steps
                 and step % cfg.rand_explo_freq == 0
                 and self.throttle.explo_type_rand == "explo"
-            ):
+            )
+            if do_vid_explore or do_rand_explore:
+                # exploration / ingestion mutate the buffers: drop in-flight
+                # prefetched batches so training only sees post-mutation data
+                self._flush_prefetch()
+
+            if do_vid_explore:
+                self.video_guided_explore()
+
+            if do_rand_explore:
                 if cfg.randsam_path and cfg.rand_explo_type == "from_h5":
                     # circular sweep over the per-task H5 episodes (`:511-526`)
                     st = self.h5_randsam_start_idx % cfg.h5_total_num_ep_per_task
@@ -655,19 +709,11 @@ class OnlineTrainer:
 
             self.iter_sched.count()
 
-            ga = cfg.gradient_accumulate_every
-            if ga == 1:
-                batch = self.to_device_batch(self.sample_from_bufs())
+            if cfg.prefetch_depth > 0:
+                self._start_prefetch()
+                batch = next(self._prefetch)
             else:
-                # ga independent buffer samples per optimizer step
-                # (`lb_online_trainer_v7.py:496-604`)
-                micro = [
-                    self.to_device_batch(self.sample_from_bufs())
-                    for _ in range(ga)
-                ]
-                batch = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs, axis=0), *micro
-                )
+                batch = self._sample_device_batch()
             self.rng, sub = jax.random.split(self.rng)
             self.state, loss, grad_norm = self._train_step(self.state, sub, batch)
             new_step = self.step
