@@ -73,3 +73,100 @@ def inception_score(
         kl = (part * (np.log(part + eps) - np.log(marginal + eps))).sum(axis=1)
         scores.append(np.exp(kl.mean()))
     return float(np.mean(scores)), float(np.std(scores))
+
+
+def pairwise_sq_distances(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Squared L2 distances, the reference `DistanceBlock` semantics
+    (`evaluator.py:330-360`, TF `_batch_pairwise_distances`)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    d = (
+        (a * a).sum(1)[:, None]
+        - 2.0 * a @ b.T
+        + (b * b).sum(1)[None, :]
+    )
+    return np.maximum(d, 0.0)
+
+
+def manifold_radii(feats: np.ndarray, nhood_size: int = 3) -> np.ndarray:
+    """Radius of each point's manifold hypersphere = squared distance to its
+    k-th nearest neighbor (`ManifoldEstimator.manifold_radii`
+    `evaluator.py:249-281`; self-distance occupies rank 0)."""
+    d = pairwise_sq_distances(feats, feats)
+    part = np.partition(d, nhood_size, axis=1)
+    return part[:, nhood_size]
+
+
+def precision_recall(
+    ref_feats: np.ndarray, sample_feats: np.ndarray, nhood_size: int = 3
+) -> Tuple[float, float]:
+    """Improved precision/recall (`compute_prec_recall` + `evaluate_pr`
+    `evaluator.py:194-202,326-345`): precision = fraction of samples inside
+    some reference hypersphere, recall = fraction of references inside some
+    sample hypersphere."""
+    radii_ref = manifold_radii(ref_feats, nhood_size)
+    radii_sample = manifold_radii(sample_feats, nhood_size)
+    d = pairwise_sq_distances(sample_feats, ref_feats)
+    precision = float(np.mean(np.any(d <= radii_ref[None, :], axis=1)))
+    recall = float(np.mean(np.any(d.T <= radii_sample[None, :], axis=1)))
+    return precision, recall
+
+
+# -- concrete feature extractor ----------------------------------------------
+
+
+def random_conv_features(
+    seed: int = 0,
+    widths: Tuple[int, ...] = (64, 128, 256, 512),
+    feature_dim: int = 768,
+    dtype=None,
+):
+    """Deterministic random-projection conv feature extractor.
+
+    The reference's evaluator uses the TF-v1 Inception pb graph downloaded
+    at runtime (`evaluator.py:20-24`) — unavailable here (no network, no
+    torchvision). This is the documented substitute: a fixed-seed He-init
+    conv trunk (stride-2 stages, ReLU, global average pool, random linear
+    head). Random conv features give a valid, reproducible Fréchet metric
+    for *relative* comparisons of image distributions; numbers are NOT
+    comparable to ImageNet-Inception FID. For Inception-calibrated FID pass
+    converted weights through `fid(..., features_fn=...)` instead.
+
+    Returns `features_fn(images01_nhwc_uint8_or_float) -> (N, feature_dim)`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    key = jax.random.PRNGKey(seed)
+    params = []
+    cin = 3
+    for w in widths:
+        key, k1 = jax.random.split(key)
+        fan_in = 3 * 3 * cin
+        kernel = jax.random.normal(k1, (3, 3, cin, w), dtype) * np.sqrt(
+            2.0 / fan_in
+        )
+        params.append(kernel)
+        cin = w
+    key, k2 = jax.random.split(key)
+    head = jax.random.normal(k2, (cin, feature_dim), dtype) * np.sqrt(
+        1.0 / cin
+    )
+
+    @jax.jit
+    def features_fn(images):
+        x = jnp.asarray(images)
+        if x.dtype == jnp.uint8:
+            x = x.astype(dtype) / 255.0
+        x = x.astype(dtype) * 2.0 - 1.0
+        for kernel in params:
+            x = jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = jax.nn.relu(x)
+        x = x.mean(axis=(1, 2))
+        return x @ head
+
+    return features_fn
