@@ -233,3 +233,40 @@ def test_weight_layout_transforms():
     np.testing.assert_allclose(
         np.asarray(out1).transpose(0, 2, 1), ref1, atol=1e-5
     )
+
+
+def test_load_converted_refuses_real_text_weights_with_hash_tokenizer(tmp_path):
+    """Real CLIP weights + hashing fallback tokenizer = silent garbage
+    conditioning; load_converted must fail fast instead."""
+    import jax
+    import pytest as _pytest
+
+    from v2a_tpu.convert.torch_import import save_video_params
+    from v2a_tpu.models.video_model import VideoModelConfig, VideoPredModel
+
+    cfg = VideoModelConfig(
+        image_size=(16, 16), sample_per_seq=3, model_channels=32,
+        channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(2,),
+        text_dim=64,
+    )
+    model = VideoPredModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    # with a 'text' tree and no tokenizer assets -> refuse
+    path = str(tmp_path / "conv.msgpack")
+    save_video_params(
+        jax.tree_util.tree_map(lambda x: np.asarray(x), params), path
+    )
+    fresh = VideoPredModel(cfg)
+    with _pytest.raises(RuntimeError, match="tokenizer"):
+        fresh.load_converted(path)
+
+    # unet-only conversion stays hermetic: random text tower + hash tokenizer
+    path2 = str(tmp_path / "unet_only.msgpack")
+    save_video_params(
+        {"unet": jax.tree_util.tree_map(lambda x: np.asarray(x), params["unet"])},
+        path2,
+    )
+    fresh2 = VideoPredModel(cfg)
+    loaded = fresh2.load_converted(path2)
+    assert "text" in loaded and not fresh2.tokenizer.is_real

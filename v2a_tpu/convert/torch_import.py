@@ -318,6 +318,28 @@ def convert_video_checkpoint(
             os.path.join(clip_path, "pytorch_model.bin"), map_location="cpu"
         )
         params["text"] = convert_clip_text(clip_sd)
+        # Bundle the tokenizer assets next to the converted weights: real
+        # CLIP weights with the hashing fallback tokenizer would silently
+        # produce garbage conditioning (VideoPredModel.load_converted
+        # refuses that combination).
+        import shutil
+
+        tok_dir = os.path.join(os.path.dirname(out_path) or ".", "tokenizer")
+        os.makedirs(tok_dir, exist_ok=True)
+        copied = 0
+        for name in (
+            "vocab.json", "merges.txt", "tokenizer.json",
+            "tokenizer_config.json", "special_tokens_map.json",
+        ):
+            src = os.path.join(clip_path, name)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(tok_dir, name))
+                copied += 1
+        if copied == 0:
+            raise FileNotFoundError(
+                f"no tokenizer assets (vocab.json/merges.txt) in {clip_path}"
+                " — converted CLIP weights require the real tokenizer"
+            )
     save_video_params(params, out_path)
     return params
 

@@ -161,6 +161,39 @@ class VideoPredModel:
         self.params = {"unet": unet_params, "text": text_params}
         return self.params
 
+    def load_converted(
+        self, path: str, tokenizer_dir: Optional[str] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> Any:
+        """Load converted reference weights, refusing silently-broken
+        combinations: real CLIP text weights REQUIRE the real BPE tokenizer
+        (the hashing fallback maps words to unrelated token ids — the
+        conditioning would be garbage with no error). `scripts/convert_ckpt
+        --clip` bundles the tokenizer assets under `<out_dir>/tokenizer/`.
+        """
+        import os
+
+        from v2a_tpu.convert.torch_import import load_video_params
+
+        params = load_video_params(path)
+        if tokenizer_dir and os.path.isdir(tokenizer_dir):
+            self.tokenizer = ClipTokenizerWrapper(local_path=tokenizer_dir)
+        if "text" in params and not self.tokenizer.is_real:
+            raise RuntimeError(
+                f"{path} holds converted CLIP text weights but only the "
+                "hashing fallback tokenizer is available — refusing (the "
+                "text conditioning would be garbage). Bundle the tokenizer "
+                "assets (convert_ckpt.py --clip writes <out>/tokenizer/) or "
+                "pass tokenizer_dir."
+            )
+        if "text" not in params:
+            # unet-only conversion: keep a hermetic random text tower, which
+            # is only consistent with the (equally hermetic) hash tokenizer
+            init = self.init(rng if rng is not None else jax.random.PRNGKey(0))
+            params["text"] = init["text"]
+        self.params = params
+        return self.params
+
     # -- text --------------------------------------------------------------
 
     def encode_batch_text(self, params, tasks: List[str]) -> jax.Array:

@@ -50,9 +50,11 @@ def make_video_model(
         cfg.video_ckpt_dir, f"jax-model-{cfg.video_ckpt_milestone}.msgpack"
     )
     if os.path.exists(ckpt):
-        from v2a_tpu.convert.torch_import import load_video_params
-
-        model.params = load_video_params(ckpt)
+        model.load_converted(
+            ckpt,
+            tokenizer_dir=os.path.join(cfg.video_ckpt_dir, "tokenizer"),
+            rng=rng,
+        )
     else:
         model.init(rng if rng is not None else jax.random.PRNGKey(0))
     return model
