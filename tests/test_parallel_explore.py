@@ -184,3 +184,52 @@ def test_pool_task_rotation_covers_all_tasks(tmp_path):
     assert all(v == 1 for v in trainer.cnt_vid_rout_per_tk.values()), (
         trainer.cnt_vid_rout_per_tk
     )
+
+
+def test_pool_auto_respawns_dead_worker_and_replays_scene():
+    """Kill a worker mid-episode: the pool must respawn it, replay the
+    journaled (seed-pinned init + steps) to rebuild the deterministic env
+    state, and retry the in-flight chunk — matching a never-crashed serial
+    run exactly."""
+    from v2a_tpu.envs.fake import FakeEnvList
+    from v2a_tpu.envs.subproc import EnvWorkerPool
+
+    acts1 = np.tile(np.array([0.3, 0.1, 0, 0, 0, 0, -1], np.float32), (3, 1))
+    acts2 = np.tile(np.array([-0.2, 0.4, 0, 0, 0, 0, -1], np.float32), (3, 1))
+
+    with EnvWorkerPool("fake-2tk-small-v0", n_workers=1) as pool:
+        task = pool.task_list[0]
+        pool.map([(0, "init_1_given_env", (task, 10000), {"is_rand": True})])
+        seed = pool.workers[0]._journal[0][2]["e_seed"]
+        r1 = pool.map([(0, "step_k", (task, 10000, acts1, "agent"), {})])[0]
+
+        pool.workers[0]._proc.kill()
+        r2 = pool.map([(0, "step_k", (task, 10000, acts2, "agent"), {})])[0]
+
+    # serial ground truth: same seed, same actions, no crash
+    envs = FakeEnvList(num_tasks=2, img_hw=(32, 32))
+    envs.init_1_given_env(task, 10000, e_seed=seed)
+    for a in acts1:
+        envs.step_an_env(task, 10000, a)
+    want1_last = envs.render_an_env(task, "agent", 10000)
+    imgs2 = []
+    for a in acts2:
+        envs.step_an_env(task, 10000, a)
+        imgs2.append(envs.render_an_env(task, "agent", 10000))
+    np.testing.assert_array_equal(r1["imgs"][-1], want1_last)
+    np.testing.assert_array_equal(r2["imgs"], np.stack(imgs2))
+
+
+def test_pool_application_errors_do_not_respawn():
+    """ok=False replies (exceptions inside a live worker) surface as errors
+    without burning a respawn."""
+    import pytest as _pytest
+
+    from v2a_tpu.envs.subproc import EnvWorkerPool
+
+    with EnvWorkerPool("fake-2tk-small-v0", n_workers=1) as pool:
+        with _pytest.raises(RuntimeError, match="env worker failed"):
+            pool.map([(0, "no_such_method", (), {})])
+        # worker is still the same live process afterwards
+        assert pool.workers[0].alive
+        assert pool.map([(0, "task_list", (), {})])[0] == pool.task_list

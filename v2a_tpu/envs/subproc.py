@@ -92,16 +92,33 @@ def _step_k(envs, task, env_idx, actions, cam, grasp_cam=None,
     return out
 
 
+class WorkerDied(RuntimeError):
+    """The worker PROCESS is gone (EOF on the pipe) — distinct from an
+    application error raised inside a live worker."""
+
+
+# state-mutating env methods journaled for crash recovery
+_JOURNALED = {"step_an_env", "step_k", "step_zero_act_1_env"}
+
+
 class EnvWorker:
     """One env backend in one child process.
 
-    `respawn()` restarts a dead worker with the same factory — the pool's
-    failure-recovery hook (the reference's env-exception handling is a
-    stub that always returns False, `lb_online_trainer_v7.py:981-991`)."""
+    Failure recovery: every state-mutating call since the last
+    `init_1_given_env` is journaled (the init itself is rewritten to pin the
+    worker's ACTUAL seed, so replays land in the same randomized scene).
+    `respawn_and_replay()` restarts a dead process and replays the journal,
+    reconstructing the deterministic MuJoCo state — the pool uses it to
+    retry in-flight chunks transparently. The reference's env-exception
+    handling is a stub that always returns False
+    (`lb_online_trainer_v7.py:981-991`); a worker death there kills the run.
+    """
 
     def __init__(self, env_name: str, **factory_kwargs):
         self._env_name = env_name
         self._factory_kwargs = factory_kwargs
+        self._journal: List[Tuple[str, tuple, dict]] = []
+        self._last_sent: Optional[Tuple[str, tuple, dict]] = None
         self._spawn()
 
     def _spawn(self):
@@ -124,6 +141,15 @@ class EnvWorker:
         self.close()
         self._spawn()
 
+    def respawn_and_replay(self):
+        """Restart the process and rebuild env state by replaying the
+        journal (seed-pinned init + every mutating call since)."""
+        journal = list(self._journal)
+        self.respawn()
+        self._journal = []
+        for method, args, kwargs in journal:
+            self.call(method, *args, **kwargs)
+
     # -- async request/response -------------------------------------------
 
     def call_async(self, method: str, *args, **kwargs):
@@ -131,18 +157,39 @@ class EnvWorker:
             raise RuntimeError("worker already has a pending call")
         self._parent.send((method, args, kwargs))
         self._pending = True
+        self._last_sent = (method, args, kwargs)
+
+    def _raw_call(self, method: str, *args, **kwargs):
+        """Pipe round trip without journaling (internal queries)."""
+        self._parent.send((method, args, kwargs))
+        ok, payload = self._parent.recv()
+        if not ok:
+            raise RuntimeError(f"env worker failed: {payload}")
+        return payload
 
     def result(self):
         try:
             ok, payload = self._parent.recv()
-        except EOFError:
+        except (EOFError, OSError):
             self._pending = False
-            raise RuntimeError(
-                "env worker process died (EOF on pipe); call respawn()"
-            )
+            raise WorkerDied("env worker process died (EOF on pipe)")
         self._pending = False
         if not ok:
             raise RuntimeError(f"env worker failed: {payload}")
+        # journal maintenance on success
+        if self._last_sent is not None:
+            method, args, kwargs = self._last_sent
+            if method == "init_1_given_env":
+                task, env_idx = args[0], args[1]
+                seeds = self._raw_call("attr:actual_env_seeds")
+                self._journal = [(
+                    "init_1_given_env", (task, env_idx),
+                    {"e_seed": int(seeds[(task, env_idx)])},
+                )]
+            elif method == "close_1_given_env":
+                self._journal = []
+            elif method in _JOURNALED:
+                self._journal.append((method, args, kwargs))
         return payload
 
     def call(self, method: str, *args, **kwargs):
@@ -173,12 +220,33 @@ class EnvWorkerPool:
     def __len__(self):
         return len(self.workers)
 
-    def map(self, calls: Sequence[Tuple[int, str, tuple, dict]]):
+    def map(
+        self,
+        calls: Sequence[Tuple[int, str, tuple, dict]],
+        max_respawns: int = 1,
+    ):
         """Issue (worker_idx, method, args, kwargs) concurrently; returns
-        results ordered like `calls`."""
+        results ordered like `calls`. A worker that DIES mid-call is
+        auto-respawned, its env state replayed from the journal, and the
+        in-flight call retried (`max_respawns` times per call) — exploration
+        survives env-process crashes instead of dying with them."""
         for w_idx, method, args, kwargs in calls:
             self.workers[w_idx].call_async(method, *args, **kwargs)
-        return [self.workers[w_idx].result() for w_idx, *_ in calls]
+        results = []
+        for w_idx, method, args, kwargs in calls:
+            worker = self.workers[w_idx]
+            attempts = 0
+            while True:
+                try:
+                    results.append(worker.result())
+                    break
+                except WorkerDied:
+                    if attempts >= max_respawns:
+                        raise
+                    attempts += 1
+                    worker.respawn_and_replay()
+                    worker.call_async(method, *args, **kwargs)
+        return results
 
     def close(self):
         for w in self.workers:
