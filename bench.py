@@ -45,13 +45,16 @@ def main():
     mc = 128 if on_tpu else 32
     hw = H if on_tpu else 32
     use_pallas_gn = os.environ.get("V2A_PALLAS_GN", "0") == "1"
+    # Pallas ResBlock-interior fusion (in-layout temporal conv + stats
+    # forwarding); default on for TPU, V2A_FUSED=0 reverts
+    fused = os.environ.get("V2A_FUSED", "1" if on_tpu else "0") == "1"
 
     unet = VideoUNet(
         in_channels=6, model_channels=mc, out_channels=3, num_res_blocks=2,
         attention_resolutions=(8, 16), channel_mult=(1, 2, 3, 4, 5),
         num_head_channels=32, task_token_dim=512,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-        use_pallas_gn=use_pallas_gn,
+        use_pallas_gn=use_pallas_gn, fused=fused,
     )
     x_probe = jnp.zeros((1, FRAMES, hw, hw, 6))
     shapes = jax.eval_shape(

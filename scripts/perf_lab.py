@@ -68,7 +68,47 @@ def time_forward(unet, label, iters=20):
     return dt
 
 
-def conv_bench(iters=30):
+_TUNNEL_BASELINE = None
+
+
+def _tunnel_baseline(iters=20):
+    """Per-call dispatch+readback latency of the axon tunnel (~31 ms),
+    measured with a trivial program; subtracted from chained timings."""
+    global _TUNNEL_BASELINE
+    if _TUNNEL_BASELINE is None:
+        f = jax.jit(lambda s: s + 1.0)
+        x = jnp.zeros(())
+        np.asarray(f(x))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            np.asarray(f(x))
+        _TUNNEL_BASELINE = (time.perf_counter() - t0) / iters
+        print(f"(tunnel baseline {_TUNNEL_BASELINE * 1e3:.1f} ms/call)",
+              flush=True)
+    return _TUNNEL_BASELINE
+
+
+def _time_chained(fn, x, wgt, chain=20, iters=5):
+    """Time `y = fn(y, wgt)` repeated `chain` times INSIDE one jit, minus
+    the per-call tunnel round trip (~31 ms — larger than many ops!)."""
+    base = _tunnel_baseline()
+
+    @jax.jit
+    def run(x, wgt):
+        def body(y, _):
+            return fn(y, wgt), None
+        y, _ = jax.lax.scan(body, x, None, length=chain)
+        return jnp.sum(y.astype(jnp.float32))
+
+    np.asarray(run(x, wgt))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(run(x, wgt))
+    per_call = (time.perf_counter() - t0) / iters
+    return max(per_call - base, 1e-9) / chain
+
+
+def conv_bench():
     """Per-level 3x3 conv: XLA conv_general_dilated vs im2col matmul.
 
     The round-1 cost model measured the deep levels at 61/29 TFLOP/s vs the
@@ -78,26 +118,20 @@ def conv_bench(iters=30):
         ("L2", 56, 32, 32, 384),
         ("L3", 56, 16, 16, 512),
         ("L4", 56, 8, 8, 640),
-        ("L4up", 56, 8, 8, 1280, 640),
     ]
-    checksum = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
-    for row in shapes:
-        name, n, h, w, c = row[:5]
-        d = row[5] if len(row) > 5 else c
+    for name, n, h, w, c in shapes:
         x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c), jnp.bfloat16)
         wgt = jax.random.normal(
-            jax.random.PRNGKey(1), (3, 3, c, d), jnp.bfloat16
+            jax.random.PRNGKey(1), (3, 3, c, c), jnp.bfloat16
         ) * 0.02
-        flops = 2 * 9 * c * d * h * w * n
+        flops = 2 * 9 * c * c * h * w * n
 
-        @jax.jit
         def xla_conv(x, wgt):
             return jax.lax.conv_general_dilated(
                 x, wgt, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
 
-        @jax.jit
         def im2col(x, wgt):
             xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
             cols = [
@@ -106,21 +140,223 @@ def conv_bench(iters=30):
             ]
             cat = jnp.concatenate(cols, -1).reshape(n * h * w, 9 * c)
             y = jax.lax.dot_general(
-                cat, wgt.reshape(9 * c, d), (((1,), (0,)), ((), ())),
+                cat, wgt.reshape(9 * c, c), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.bfloat16,
             )
-            return y.reshape(n, h, w, d)
+            return y.reshape(n, h, w, c)
 
         for label, fn in (("xla", xla_conv), ("im2col", im2col)):
-            np.asarray(checksum(fn(x, wgt)))
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                np.asarray(checksum(fn(x, wgt)))
-            dt = (time.perf_counter() - t0) / iters
+            dt = _time_chained(fn, x, wgt)
             print(
                 f"conv {name:<5} {label:<7} {dt * 1e3:7.3f} ms  "
                 f"{flops / dt / 1e12:6.1f} TFLOP/s", flush=True,
             )
+
+
+def tconv_bench():
+    """Temporal conv formulations at every U-Net level shape: the transpose+
+    conv1d production path vs the Pallas in-layout kernel (with and without
+    fused emb/stats)."""
+    from flax import linen as nn
+
+    from v2a_tpu.ops.resblock_kernels import temporal_conv_fused
+
+    shapes = [
+        ("L0", 8, 7, 128, 128, 128),
+        ("L1", 8, 7, 64, 64, 256),
+        ("L2", 8, 7, 32, 32, 384),
+        ("L3", 8, 7, 16, 16, 512),
+        ("L4", 8, 7, 8, 8, 640),
+    ]
+    for name, b, f, h, w, c in shapes:
+        x = jax.random.normal(
+            jax.random.PRNGKey(0), (b, f, h, w, c), jnp.bfloat16
+        )
+        kernel = jax.random.normal(jax.random.PRNGKey(1), (3, c, c)) * 0.05
+        bias = jnp.zeros((c,))
+        emb = jax.random.normal(jax.random.PRNGKey(2), (b, c))
+        conv = nn.Conv(c, (3,), padding=1, dtype=jnp.bfloat16)
+        cparams = {"params": {"kernel": kernel, "bias": bias}}
+        flops = 2 * 3 * c * c * h * w * b * f
+
+        def transpose_form(x, _):
+            t = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+            t = conv.apply(cparams, t)
+            return t.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+
+        def pallas_form(x, _):
+            return temporal_conv_fused(x, kernel, bias)
+
+        def pallas_full(x, _):
+            y, _stats = temporal_conv_fused(
+                x, kernel, bias, emb=emb, want_stats=True
+            )
+            return y
+
+        for label, fn in (
+            ("transpose", transpose_form),
+            ("pallas", pallas_form),
+            ("pallas+es", pallas_full),
+        ):
+            dt = _time_chained(fn, x, jnp.zeros(()))
+            print(
+                f"tconv {name:<4} {label:<10} {dt * 1e3:7.3f} ms  "
+                f"{flops / dt / 1e12:6.1f} TFLOP/s", flush=True,
+            )
+
+
+def tconv_variants_bench():
+    """Kernel-shape experiments for the temporal conv: the production
+    per-frame concat form vs (a) one (F*tile, 3C) gemm per block, (b) three
+    per-tap dots, (c) bigger tiles — hunting the 29-vs-117 TFLOP/s gap."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    shapes = [
+        ("L0", 8, 7, 128 * 128, 128),
+        ("L1", 8, 7, 64 * 64, 256),
+        ("L4", 8, 7, 64, 640),
+    ]
+
+    def make_call(impl, tile, b, f, s, c):
+        def kernel(x_ref, w_ref, o_ref):
+            x = x_ref[0]  # (F, tile, C)
+            w = w_ref[:]
+            zeros = jnp.zeros((1,) + x.shape[1:], x.dtype)
+            if impl == "all_frames":
+                xm1 = jnp.concatenate([zeros, x[:-1]], axis=0)
+                xp1 = jnp.concatenate([x[1:], zeros], axis=0)
+                cat = jnp.concatenate([xm1, x, xp1], axis=-1).reshape(
+                    f * tile, 3 * c
+                )
+                y = jax.lax.dot_general(
+                    cat, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[0] = y.reshape(f, tile, c).astype(o_ref.dtype)
+            elif impl == "taps":
+                w0, w1, w2 = w[:c], w[c:2 * c], w[2 * c:]
+                for fi in range(f):
+                    acc = jax.lax.dot_general(
+                        x[fi], w1, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if fi > 0:
+                        acc += jax.lax.dot_general(
+                            x[fi - 1], w0, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    if fi < f - 1:
+                        acc += jax.lax.dot_general(
+                            x[fi + 1], w2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    o_ref[0, fi] = acc.astype(o_ref.dtype)
+            else:  # frame_concat (production)
+                z2 = jnp.zeros(x.shape[1:], x.dtype)
+                for fi in range(f):
+                    xm1 = x[fi - 1] if fi > 0 else z2
+                    xp1 = x[fi + 1] if fi < f - 1 else z2
+                    cat = jnp.concatenate([xm1, x[fi], xp1], axis=-1)
+                    y = jax.lax.dot_general(
+                        cat, w, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    o_ref[0, fi] = y.astype(o_ref.dtype)
+
+        n_tiles = s // tile
+        return pl.pallas_call(
+            kernel,
+            grid=(b, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, f, tile, c), lambda i, j: (i, 0, j, 0)),
+                pl.BlockSpec((3 * c, c), lambda i, j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, f, tile, c), lambda i, j: (i, 0, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, f, s, c), jnp.bfloat16),
+        )
+
+    for name, b, f, s, c in shapes:
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, f, s, c), jnp.bfloat16)
+        w = (jax.random.normal(jax.random.PRNGKey(1), (3 * c, c)) * 0.05
+             ).astype(jnp.bfloat16)
+        flops = 2 * 3 * c * c * s * b * f
+        base_tile = min(s, max(1024 * 1024 // (c * 2 * f), 8))
+        # round to power of two dividing s
+        t = 1
+        while t * 2 <= base_tile and s % (t * 2) == 0:
+            t *= 2
+        for impl, tile in (
+            ("frame_concat", t),
+            ("all_frames", t),
+            ("taps", t),
+            ("all_frames", min(t * 2, s)),
+            ("all_frames", min(t * 4, s)),
+        ):
+            if s % tile:
+                continue
+            try:
+                call = make_call(impl, tile, b, f, s, c)
+                dt = _time_chained(lambda y, _: call(y, w), x, jnp.zeros(()))
+                print(
+                    f"tconv2 {name} {impl:<13} tile={tile:<6}"
+                    f" {dt * 1e3:7.3f} ms  {flops / dt / 1e12:6.1f} TFLOP/s",
+                    flush=True,
+                )
+            except Exception as e:
+                print(f"tconv2 {name} {impl} tile={tile} FAILED: "
+                      f"{str(e)[:120]}", flush=True)
+
+
+def trace_forward(fused=True, topk=30):
+    """Capture an xplane trace of one U-Net forward and print the ops with
+    the largest total device time (the round-1 GN-layout fix came from this
+    view, PERF.md)."""
+    import glob
+    import tempfile
+
+    unet = build(fused=fused)
+    hw = HW if jax.devices()[0].platform != "cpu" else 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (BATCH, FRAMES, hw, hw, 6))
+    t = jnp.full((BATCH,), 50, jnp.int32)
+    e = jax.random.normal(jax.random.PRNGKey(1), (BATCH, TOKENS, 512)) * 0.1
+    shapes = jax.eval_shape(lambda r: unet.init(r, x, t, e), jax.random.PRNGKey(0))
+    rngs = iter(jax.random.split(jax.random.PRNGKey(0), 10_000))
+    params = jax.tree_util.tree_map(
+        lambda s: jax.random.normal(next(rngs), s.shape, s.dtype) * 0.02, shapes
+    )
+    fwd = jax.jit(lambda p, x, t, e: unet.apply(p, x, t, e))
+    checksum = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
+    np.asarray(checksum(fwd(params, x, t, e)))  # compile
+
+    logdir = tempfile.mkdtemp(prefix="v2a_trace_")
+    with jax.profiler.trace(logdir):
+        for _ in range(3):
+            np.asarray(checksum(fwd(params, x, t, e)))
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    files = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
+    totals = {}
+    for fname in files:
+        xs = xplane_pb2.XSpace()
+        with open(fname, "rb") as f:
+            xs.ParseFromString(f.read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "tpu" not in plane.name:
+                continue
+            ev_names = {k: v.name for k, v in plane.event_metadata.items()}
+            for line in plane.lines:
+                for ev in line.events:
+                    name = ev_names.get(ev.metadata_id, "?")
+                    totals[name] = totals.get(name, 0) + ev.duration_ps
+    ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:topk]
+    total_ms = sum(totals.values()) / 1e9 / 3
+    print(f"trace: {len(totals)} distinct ops, {total_ms:.1f} ms "
+          f"summed/fwd (overlaps double-count)")
+    for name, ps in ranked:
+        print(f"  {ps / 1e9 / 3:8.2f} ms  {name[:110]}")
 
 
 def main():
@@ -130,6 +366,15 @@ def main():
     for name in want:
         if name == "convbench":
             conv_bench()
+            continue
+        if name == "tconvbench":
+            tconv_bench()
+            continue
+        if name == "tconvbench2":
+            tconv_variants_bench()
+            continue
+        if name in ("trace", "trace_base"):
+            trace_forward(fused=name == "trace")
             continue
         if name == "fused":
             results[name] = time_forward(build(fused=True), name)

@@ -1,0 +1,126 @@
+"""Tensor parallelism and hybrid-mesh coverage on the virtual 8-CPU mesh:
+the production trainer and video sampler must actually shard wide parameter
+dims over 'tp' (not just the dryrun), and the DCNxICI hybrid mesh must
+train end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.sharding import Mesh, PartitionSpec as P
+
+from v2a_tpu.parallel.mesh import make_mesh
+from v2a_tpu.parallel.multihost import initialize_distributed, make_hybrid_mesh
+from v2a_tpu.parallel.sharding import (
+    dp_axis_names,
+    shard_train_state,
+    tp_leaf_spec,
+)
+
+
+def test_tp_leaf_spec_rules():
+    mesh = make_mesh(("dp", "tp"), (2, 4))
+    wide = np.zeros((16, 512))
+    narrow = np.zeros((16, 64))
+    odd = np.zeros((16, 258))  # not divisible by tp=4
+    assert tp_leaf_spec(wide, mesh) == P(None, "tp")
+    assert tp_leaf_spec(narrow, mesh) == P()
+    assert tp_leaf_spec(odd, mesh) == P()
+    # no tp axis -> replicate everything
+    assert tp_leaf_spec(wide, make_mesh(("dp",))) == P()
+
+
+def test_shard_train_state_places_wide_leaves():
+    mesh = make_mesh(("dp", "tp"), (2, 4))
+    tree = {"w": jnp.zeros((8, 512)), "b": jnp.zeros((512,)), "n": 3}
+    out = shard_train_state(tree, mesh, min_size=256)
+    assert out["w"].sharding.spec == P(None, "tp")
+    # per-device shard is 1/4 of the columns
+    shard_shape = out["w"].sharding.shard_shape(out["w"].shape)
+    assert shard_shape == (8, 128)
+    assert out["b"].sharding.spec == P(None, "tp")
+    assert out["n"] == 3
+
+
+def test_hybrid_mesh_single_process_shape_and_dp_axes():
+    mesh = make_hybrid_mesh()
+    assert mesh.axis_names == ("dp_dcn", "dp_ici")
+    assert mesh.shape["dp_dcn"] == 1 and mesh.shape["dp_ici"] == 8
+    assert dp_axis_names(mesh) == ("dp_dcn", "dp_ici")
+    # single-process initialize is a clean no-op
+    assert initialize_distributed() is False
+
+
+def test_trainer_tp_mesh_end_to_end(tmp_path):
+    """OnlineTrainer on a (dp=2, tp=4) mesh: params actually shard over tp,
+    exploration -> train -> checkpoint runs."""
+    from tests.test_trainer import small_trainer
+
+    mesh = make_mesh(("dp", "tp"), (2, 4))
+    trainer = small_trainer(tmp_path)
+    # rebuild with the mesh (small_trainer has no mesh arg; construct anew)
+    from v2a_tpu.train.trainer import OnlineTrainer
+
+    trainer2 = OnlineTrainer(
+        trainer.policy, trainer.envs, trainer.cfg,
+        str(tmp_path / "wd_tp"), video_model=trainer.video_model, seed=0,
+        mesh=mesh, tp_min_size=64,
+    )
+    # the 1D action-unet kernels are (k, cin, cout): cout=64 leaves shard
+    specs = {
+        p.sharding.spec
+        for p in jax.tree_util.tree_leaves(trainer2.state.params)
+        if hasattr(p, "sharding")
+    }
+    assert P(None, None, "tp") in specs or P(None, "tp") in specs, specs
+    trainer2.train(6)
+    assert trainer2.step == 6
+    # state keeps its sharding across donated train steps
+    specs_after = {
+        p.sharding.spec
+        for p in jax.tree_util.tree_leaves(trainer2.state.params)
+        if hasattr(p, "sharding")
+    }
+    assert P(None, None, "tp") in specs_after or P(None, "tp") in specs_after
+
+
+def test_trainer_hybrid_mesh_end_to_end(tmp_path):
+    from tests.test_trainer import small_trainer
+    from v2a_tpu.train.trainer import OnlineTrainer
+
+    mesh = make_hybrid_mesh()
+    base = small_trainer(tmp_path)
+    trainer = OnlineTrainer(
+        base.policy, base.envs, base.cfg, str(tmp_path / "wd_hybrid"),
+        video_model=base.video_model, seed=0, mesh=mesh,
+    )
+    trainer.train(4)
+    assert trainer.step == 4
+
+
+def test_video_model_shard_for_mesh():
+    from v2a_tpu.models.video_model import VideoModelConfig, VideoPredModel
+
+    cfg = VideoModelConfig(
+        image_size=(16, 16), sample_per_seq=3, model_channels=64,
+        channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(2,),
+        text_dim=64, sampling_timesteps=2, timesteps=10,
+    )
+    model = VideoPredModel(cfg)
+    model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(("dp", "tp"), (2, 4))
+    model.shard_for_mesh(mesh)
+    specs = {
+        p.sharding.spec
+        for p in jax.tree_util.tree_leaves(model.params)
+        if hasattr(p, "sharding")
+    }
+    assert any("tp" in str(s) for s in specs), specs
+    out = model.sample(
+        jax.random.PRNGKey(1),
+        np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32),
+        ["task a", "task b"],
+    )
+    assert out.shape == (2, 2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -61,6 +61,12 @@ class VideoModelConfig:
     text_dim: int = 512
     dtype: str = "float32"
     use_pallas_gn: bool = False
+    # conditioning-frame channels when they differ from the predicted
+    # channels (e.g. the MW flow variants: 2-channel flow conditioned on an
+    # rgb frame, `flowdiffusion/flowdiffusion/unet.py:69-123`)
+    cond_channels: Optional[int] = None
+    # Pallas ResBlock-interior fusion; None = auto (on for TPU backends)
+    fused: Optional[bool] = None
     # 'unet' = guided-diffusion family (Perceiver-pooled additive text
     # conditioning, the Libero release model); 'xattn' = diffusers family
     # (cross-attention conditioning, SURVEY §2.9 alternative backbone)
@@ -96,9 +102,13 @@ class VideoPredModel:
             )
         cfg = self.config
 
+        cond_ch = cfg.cond_channels if cfg.cond_channels is not None else cfg.channels
+        fused = cfg.fused
+        if fused is None:
+            fused = jax.default_backend() not in ("cpu",)
         if cfg.backbone == "unet":
             self.unet = VideoUNet(
-                in_channels=2 * cfg.channels,
+                in_channels=cfg.channels + cond_ch,
                 model_channels=cfg.model_channels,
                 out_channels=cfg.channels,
                 num_res_blocks=cfg.num_res_blocks,
@@ -108,12 +118,13 @@ class VideoPredModel:
                 task_token_dim=cfg.text_dim,
                 dtype=cfg.compute_dtype,
                 use_pallas_gn=cfg.use_pallas_gn,
+                fused=fused,
             )
         elif cfg.backbone == "xattn":
             from v2a_tpu.models.video_unet_xattn import VideoUNetXAttn
 
             self.unet = VideoUNetXAttn(
-                in_channels=2 * cfg.channels,
+                in_channels=cfg.channels + cond_ch,
                 out_channels=cfg.channels,
                 block_out_channels=tuple(
                     cfg.model_channels * m for m in cfg.channel_mult
@@ -151,7 +162,9 @@ class VideoPredModel:
         rng_u, rng_t = jax.random.split(rng)
         unet_params = self.unet.init(
             rng_u,
-            jnp.zeros((1, f, h, w, 2 * cfg.channels)),
+            jnp.zeros((1, f, h, w, cfg.channels + (
+                cfg.cond_channels if cfg.cond_channels is not None
+                else cfg.channels))),
             jnp.zeros((1,), jnp.int32),
             jnp.zeros((1, 4, cfg.text_dim)),
         )
@@ -228,6 +241,19 @@ class VideoPredModel:
             self._model_fn(params["unet"]), rng, shape, x_cond_n, task_embed
         )
 
+    def shard_for_mesh(self, mesh) -> None:
+        """Distribute the frozen sampler across a device mesh: wide
+        parameter trailing dims shard over 'tp' (tensor parallelism — GSPMD
+        inserts the activation collectives), the video batch over the dp
+        axes. Call after init()/load_converted(); subsequent `sample()`
+        calls run sharded."""
+        if self.params is None:
+            raise RuntimeError("call init() or load converted params first")
+        from v2a_tpu.parallel.sharding import shard_train_state
+
+        self.params = shard_train_state(self.params, mesh)
+        self._mesh = mesh
+
     def sample(
         self, rng: jax.Array, x_conds: np.ndarray, tasks: List[str]
     ) -> jax.Array:
@@ -239,8 +265,15 @@ class VideoPredModel:
         if x_conds.shape[0] != len(tasks):
             raise ValueError("batch size mismatch between frames and tasks")
         task_embed = self.encode_batch_text(self.params, tasks)
+        x = jnp.asarray(x_conds)
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None:
+            from v2a_tpu.parallel.sharding import batch_sharding
+
+            x = jax.device_put(x, batch_sharding(mesh))
+            task_embed = jax.device_put(task_embed, batch_sharding(mesh))
         return self._sample_jit(
-            self.params, rng, jnp.asarray(x_conds), x_conds.shape[0], task_embed
+            self.params, rng, x, x_conds.shape[0], task_embed
         )
 
     # -- training loss (video-model finetuning parity;

@@ -27,8 +27,16 @@ def initialize_distributed(
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
-        except Exception:
-            return False  # single-process / no cluster env
+        except (ValueError, RuntimeError) as e:
+            # auto-detection found no cluster environment — the expected
+            # single-process case. Anything else (real cluster misconfig)
+            # propagates instead of being silently swallowed.
+            import logging
+
+            logging.getLogger(__name__).info(
+                "jax.distributed not initialized (single process): %s", e
+            )
+            return False
         return True
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

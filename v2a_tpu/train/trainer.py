@@ -207,8 +207,9 @@ class OnlineTrainer:
         seed: int = 0,
         act_min: Optional[np.ndarray] = None,
         act_max: Optional[np.ndarray] = None,
-        mesh=None,  # jax.sharding.Mesh with a 'dp' axis for multi-chip DP
+        mesh=None,  # jax.sharding.Mesh: 'dp'/'dp_*' axes for DP, 'tp' for TP
         env_pool=None,  # EnvWorkerPool: parallel exploration workers
+        tp_min_size: int = 256,  # smallest trailing dim sharded over 'tp'
     ):
         self.policy = policy
         self.envs = env_list
@@ -232,24 +233,33 @@ class OnlineTrainer:
         self.np_rng = np.random.default_rng(seed)
         self.rng = jax.random.PRNGKey(seed)
 
-        # device state; with a mesh, params/opt/EMA are replicated over all
-        # devices, batches are split along 'dp', and XLA compiles the grad
-        # all-reduce onto ICI (SURVEY §2.11: the reference's Accelerate DP
-        # is degenerate single-process — here it is real)
+        # device state; with a mesh, batches split along the dp axes and XLA
+        # compiles the grad all-reduce onto ICI (SURVEY §2.11: the
+        # reference's Accelerate DP is degenerate single-process — here it
+        # is real). A 'tp' mesh axis additionally shards wide parameter /
+        # optimizer-moment trailing dims across chips (tensor parallelism);
+        # GSPMD inserts the activation collectives from the shardings.
         self.mesh = mesh
         tx = make_optimizer(opt_config or OptimizerConfig())
         self.rng, init_rng = jax.random.split(self.rng)
         params = policy.init(init_rng)
         self.state = TrainState.create(params, tx)
         if mesh is not None:
-            from v2a_tpu.parallel.sharding import replicate
+            from v2a_tpu.parallel.sharding import (
+                dp_axis_names, shard_train_state,
+            )
 
-            if config.buf_sample_batch_size % mesh.shape["dp"] != 0:
+            dp_total = int(
+                np.prod([mesh.shape[a] for a in dp_axis_names(mesh)])
+            )
+            if config.buf_sample_batch_size % dp_total != 0:
                 raise ValueError(
                     f"batch {config.buf_sample_batch_size} not divisible by "
-                    f"dp={mesh.shape['dp']}"
+                    f"dp={dp_total}"
                 )
-            self.state = replicate(self.state, mesh)
+            self.state = shard_train_state(
+                self.state, mesh, min_size=tp_min_size
+            )
         self._train_step = jax.jit(
             make_train_step(
                 policy.loss, tx, ema_config or EMAConfig(),
