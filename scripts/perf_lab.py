@@ -358,6 +358,45 @@ def trace_forward(fused=True, topk=30):
     for name, ps in ranked:
         print(f"  {ps / 1e9 / 3:8.2f} ms  {name[:110]}")
 
+    # category rollup: convs / pallas kernels / pure-relayout fusions /
+    # other fusions / async copies
+    import re
+
+    cats = {}
+    relayout_re = re.compile(
+        r"fusion\([^)]*\{([\d,]+):"  # input layout
+    )
+    for name, ps in totals.items():
+        ms = ps / 1e9 / 3
+        if "convolution" in name or "conv_general" in name:
+            cat = "convolution"
+        elif "temporal_conv_fused" in name or "tconv" in name:
+            cat = "pallas_tconv"
+        elif "group_norm" in name or "_stats_kernel" in name or "_apply_kernel" in name:
+            cat = "pallas_gn"
+        elif name.startswith("%copy") or "copy-start" in name or "copy-done" in name:
+            cat = "copies(async,overlapped)"
+        elif "fusion" in name:
+            m_out = re.search(r"= \S+\{([\d,]+)", name)
+            m_in = relayout_re.search(name)
+            if (
+                m_out and m_in and m_out.group(1) != m_in.group(1)
+                and ".kind=kLoop" not in name
+            ):
+                cat = "fusion(layout-change)"
+            else:
+                cat = "fusion(other)"
+        elif "slice" in name or "dynamic" in name:
+            cat = "slice/dus"
+        elif name.startswith("jit_"):
+            cat = "TOTAL(jit)"
+        else:
+            cat = "misc"
+        cats[cat] = cats.get(cat, 0.0) + ms
+    print("-- category rollup (ms/fwd, overlaps double-count) --")
+    for cat, ms in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {ms:8.1f}  {cat}")
+
 
 def main():
     known_ablate = ["base", "no_attn", "no_temporal", "no_gn", "conv_only"]

@@ -233,3 +233,61 @@ def test_pool_application_errors_do_not_respawn():
         # worker is still the same live process afterwards
         assert pool.workers[0].alive
         assert pool.map([(0, "task_list", (), {})])[0] == pool.task_list
+
+
+def test_pool_parallel_rollout_beats_serial(tmp_path):
+    """CI guard for the pool-parallel exploration win (PERF.md measured
+    3.4x on-chip): with sim cost ~0 (fake env) the batched lock-step policy
+    calls must not be slower than the serial batch-1 loop. Both paths are
+    warmed (compiles excluded) before the timed cycle."""
+    import time
+
+    import jax
+    from v2a_tpu.envs.fake import FakeEnvList
+    from v2a_tpu.models.policy import DiffusionPolicy, PolicyConfig
+    from v2a_tpu.train.explore import ExploreConfig
+    from v2a_tpu.train.trainer import OnlineTrainer, TrainerConfig
+
+    class StubVideo:
+        def sample(self, rng, imgs01, tasks):
+            return np.clip(
+                np.stack([imgs01 * (1 + 0.1 * (i + 1)) for i in range(3)], 1),
+                0, 1,
+            )
+
+    def make_trainer(workdir, pool=None):
+        envs = FakeEnvList(num_tasks=4, img_hw=(32, 32))
+        policy = DiffusionPolicy.create(PolicyConfig(
+            image_size=(32, 32), down_dims=(32, 64), horizon=8,
+            n_action_steps=4, num_train_timesteps=10,
+            num_inference_steps=10, num_inference_steps_ddim=2,
+        ))
+        cfg = TrainerConfig(
+            randsam_path="", min_len_uB=9, model_act_horizon=8,
+            max_episodes_vid=64,
+        )
+        return OnlineTrainer(
+            policy, envs, cfg, workdir, video_model=StubVideo(),
+            explore_config=ExploreConfig(
+                n_acts_per_pred=4, n_preds_betw_vframes=(2, 3),
+                act_down_val=-0.1,
+            ),
+            seed=0, env_pool=pool,
+        )
+
+    def timed_cycles(trainer, n=2):
+        trainer.video_guided_explore()  # warm (compiles)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            trainer.video_guided_explore()
+        return (time.perf_counter() - t0) / n
+
+    serial_t = timed_cycles(make_trainer(str(tmp_path / "serial")))
+    with EnvWorkerPool(
+        "fake-8tk-v0", n_workers=4, num_tasks=4, img_hw=(32, 32)
+    ) as pool:
+        parallel_t = timed_cycles(make_trainer(str(tmp_path / "par"), pool))
+
+    # generous CI margin: the parallel path must at least not regress; on
+    # real hardware the measured win is 3.4x (PERF.md)
+    assert parallel_t < serial_t * 1.1, (parallel_t, serial_t)

@@ -39,7 +39,7 @@ def test_shard_train_state_places_wide_leaves():
     # per-device shard is 1/4 of the columns
     shard_shape = out["w"].sharding.shard_shape(out["w"].shape)
     assert shard_shape == (8, 128)
-    assert out["b"].sharding.spec == P(None, "tp")
+    assert out["b"].sharding.spec == P("tp")
     assert out["n"] == 3
 
 
