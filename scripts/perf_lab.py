@@ -418,6 +418,16 @@ def main():
         if name == "fused":
             results[name] = time_forward(build(fused=True), name)
             continue
+        if name == "fused_im2col":
+            video_unet.PERF_SPATIAL_IM2COL = True
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_SPATIAL_IM2COL = False
+            continue
+        if name == "base_im2col":
+            video_unet.PERF_SPATIAL_IM2COL = True
+            results[name] = time_forward(build(), name)
+            video_unet.PERF_SPATIAL_IM2COL = False
+            continue
         video_unet.PERF_ABLATE_TEMPORAL = name in ("no_temporal", "conv_only")
         video_unet.PERF_ABLATE_GN = name in ("no_gn", "conv_only")
         attn = () if name in ("no_attn", "conv_only") else (8, 16)

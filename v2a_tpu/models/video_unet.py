@@ -38,6 +38,12 @@ from v2a_tpu.models.perceiver import PerceiverResampler
 # without forking the model definition.
 PERF_ABLATE_TEMPORAL = False
 PERF_ABLATE_GN = False
+# Express 3x3 stride-1 spatial convs as explicit im2col matmuls. Rationale:
+# XLA's conv emitter picks an N-second-minor operand layout ({3,0,2,1}),
+# forcing multi-ms relayout fusions at every Pallas-kernel boundary in the
+# fused path (trace, PERF.md round 2); dots keep the default row-major
+# layout end-to-end. Trace-time switch exercised by scripts/perf_lab.py.
+PERF_SPATIAL_IM2COL = False
 
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
@@ -130,6 +136,50 @@ class GroupNorm32(nn.Module):
         return y.reshape(x.shape)
 
 
+class _Conv2DParams(nn.Module):
+    """Parameter container matching nn.Conv's {kernel, bias} layout for the
+    explicit im2col spatial-conv formulation."""
+
+    features: int
+    kernel_size: int
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.kernel_size
+        kernel_init = (
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal()
+        )
+        kernel = self.param(
+            "kernel", kernel_init, (k, k, in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+def _im2col_conv(y: jax.Array, kernel: jax.Array, bias: jax.Array,
+                 dtype) -> jax.Array:
+    """3x3 stride-1 SAME conv as one (N*H*W, 9C) x (9C, D) matmul on the
+    default row-major layout."""
+    n, h, w, c = y.shape
+    k = kernel.shape[0]
+    pad = k // 2
+    xp = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    cols = [
+        jax.lax.slice(xp, (0, i, j, 0), (n, i + h, j + w, c))
+        for i in range(k) for j in range(k)
+    ]
+    cat = jnp.concatenate(cols, axis=-1).reshape(n * h * w, k * k * c)
+    d = kernel.shape[-1]
+    out = jax.lax.dot_general(
+        cat.astype(dtype), kernel.reshape(k * k * c, d).astype(dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=dtype,
+    )
+    return (out + bias.astype(dtype)).reshape(n, h, w, d)
+
+
 class _TemporalConvParams(nn.Module):
     """Parameter container matching nn.Conv's {kernel, bias} layout so the
     fused Pallas path shares checkpoints with the transpose+conv1d path."""
@@ -181,11 +231,21 @@ class PseudoConv3d(nn.Module):
             else nn.initializers.lecun_normal()
         )
         y = x.reshape(b * f, h, w, c)
-        y = nn.Conv(
-            self.features, (k, k), strides=self.spatial_strides,
-            padding=k // 2, dtype=self.dtype, kernel_init=kernel_init,
-            name="spatial_conv",
-        )(y)
+        if (
+            PERF_SPATIAL_IM2COL
+            and k == 3
+            and self.spatial_strides == (1, 1)
+        ):
+            kernel, bias2 = _Conv2DParams(
+                self.features, k, self.zero_init, name="spatial_conv"
+            )(c)
+            y = _im2col_conv(y, kernel, bias2, self.dtype)
+        else:
+            y = nn.Conv(
+                self.features, (k, k), strides=self.spatial_strides,
+                padding=k // 2, dtype=self.dtype, kernel_init=kernel_init,
+                name="spatial_conv",
+            )(y)
         nh, nw = y.shape[1], y.shape[2]
         y = y.reshape(b, f, nh, nw, self.features)
         has_temporal = k > 1 and not PERF_ABLATE_TEMPORAL
