@@ -423,6 +423,11 @@ def main():
             results[name] = time_forward(build(fused=True), name)
             video_unet.PERF_SPATIAL_IM2COL = False
             continue
+        if name == "fused_hw":
+            video_unet.PERF_TCONV_HW = True
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_TCONV_HW = False
+            continue
         if name == "base_im2col":
             video_unet.PERF_SPATIAL_IM2COL = True
             results[name] = time_forward(build(), name)

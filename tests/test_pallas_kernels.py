@@ -261,3 +261,24 @@ def test_video_unet_fused_scale_shift_matches_default():
     np.testing.assert_allclose(
         np.asarray(out1), np.asarray(out0), atol=5e-4, rtol=1e-3
     )
+
+
+def test_temporal_conv_fused_hw_matches_reference():
+    from v2a_tpu.ops.resblock_kernels import (
+        temporal_conv_fused_hw, temporal_conv_reference,
+    )
+
+    x, kernel, bias, emb, res = _tconv_inputs(b=2, f=3, h=4, w=8, c=128)
+    got, stats = temporal_conv_fused_hw(
+        x, kernel, bias, emb=emb, residual=res, want_stats=True,
+        interpret=True,
+    )
+    want = temporal_conv_reference(x, kernel, bias, emb=emb, residual=res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    yf = np.asarray(want, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(stats[:, :, 0]), yf.sum(axis=(2, 3)), rtol=1e-5, atol=1e-3
+    )
+    got2 = temporal_conv_fused_hw(x, kernel, bias, interpret=True, tile=4)
+    want2 = temporal_conv_reference(x, kernel, bias)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-4)

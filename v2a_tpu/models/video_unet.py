@@ -43,7 +43,12 @@ PERF_ABLATE_GN = False
 # forcing multi-ms relayout fusions at every Pallas-kernel boundary in the
 # fused path (trace, PERF.md round 2); dots keep the default row-major
 # layout end-to-end. Trace-time switch exercised by scripts/perf_lab.py.
+# MEASURED: loses badly (682 ms vs 196) — the 9x patch materialization
+# swamps the relayout savings; kept for the record.
 PERF_SPATIAL_IM2COL = False
+# Run the fused temporal conv on the (H*W, B, F, C) view, byte-identical to
+# the convs' preferred layout, so boundary transposes become bitcasts.
+PERF_TCONV_HW = False
 
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
@@ -267,12 +272,16 @@ class PseudoConv3d(nn.Module):
             )(t)
             y = t.reshape(b, nh, nw, f, self.features).transpose(0, 3, 1, 2, 4)
         elif use_fused:
-            from v2a_tpu.ops.resblock_kernels import temporal_conv_fused
+            from v2a_tpu.ops.resblock_kernels import (
+                temporal_conv_fused,
+                temporal_conv_fused_hw,
+            )
 
             kernel, bias = _TemporalConvParams(
                 self.features, k, name="temporal_conv"
             )()
-            return temporal_conv_fused(
+            tconv = temporal_conv_fused_hw if PERF_TCONV_HW else temporal_conv_fused
+            return tconv(
                 y.astype(self.dtype), kernel, bias, emb=emb,
                 residual=residual, want_stats=want_stats,
                 interpret=jax.default_backend() == "cpu",

@@ -207,6 +207,153 @@ def temporal_conv_fused(
     return outs.reshape(orig_shape)
 
 
+def _tconv_hw_kernel(
+    *refs,
+    frames: int,
+    has_emb: bool,
+    has_res: bool,
+    want_stats: bool,
+):
+    """HW-major layout: one (tile_hw, B, F, C) block per grid step. The
+    logical (H*W, B, F, C) view is byte-identical to the (B*F, H, W, C)
+    tensor in XLA's preferred convolution layout {3,0,2,1}, so the
+    transposes at the kernel boundary compile to bitcasts — no relayout
+    fusions (PERF.md round 2 trace)."""
+    idx = 0
+    x_ref = refs[idx]; idx += 1
+    w_ref = refs[idx]; idx += 1
+    b_ref = refs[idx]; idx += 1
+    emb_ref = None
+    res_ref = None
+    if has_emb:
+        emb_ref = refs[idx]; idx += 1
+    if has_res:
+        res_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1
+    stats_ref = refs[idx] if want_stats else None
+
+    j = pl.program_id(0)
+    x = x_ref[:]  # (tile, B, F, C)
+    tile, b, f, c = x.shape
+    w = w_ref[:]  # (3C, C)
+    bias = b_ref[0].astype(jnp.float32)  # (C,)
+    emb = emb_ref[:].astype(jnp.float32) if has_emb else None  # (B, C)
+    zeros = jnp.zeros((tile, b, c), x.dtype)
+
+    for fi in range(frames):
+        xm1 = x[:, :, fi - 1] if fi > 0 else zeros
+        xp1 = x[:, :, fi + 1] if fi < frames - 1 else zeros
+        cat = jnp.concatenate([xm1, x[:, :, fi], xp1], axis=-1).reshape(
+            tile * b, 3 * c
+        )
+        y = jax.lax.dot_general(
+            cat, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(tile, b, c)
+        y = y + bias[None, None, :]
+        if has_emb:
+            y = y + emb[None, :, :]
+        if has_res:
+            y = y + res_ref[:, :, fi].astype(jnp.float32)
+        y16 = y.astype(o_ref.dtype)
+        o_ref[:, :, fi] = y16
+        if want_stats:
+            yf = y16.astype(jnp.float32)
+            row = jnp.stack(
+                [jnp.sum(yf, axis=0), jnp.sum(yf * yf, axis=0)], axis=1
+            )  # (B, 2, C)
+
+            @pl.when(j == 0)
+            def _():
+                stats_ref[:, fi] = row
+
+            @pl.when(j > 0)
+            def _():
+                stats_ref[:, fi] = stats_ref[:, fi] + row
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("want_stats", "interpret", "tile"),
+)
+def temporal_conv_fused_hw(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    emb: Optional[jax.Array] = None,
+    residual: Optional[jax.Array] = None,
+    want_stats: bool = False,
+    interpret: bool = False,
+    tile: Optional[int] = None,
+):
+    """Same contract as `temporal_conv_fused` but the kernel runs on the
+    (H*W, B, F, C) view so the boundary transposes are layout bitcasts.
+    x: (B, F, H, W, C) logical; returns the same [, stats (B, F, 2, C)]."""
+    b, f = x.shape[0], x.shape[1]
+    c = x.shape[-1]
+    orig_shape = x.shape
+    s = 1
+    for d in x.shape[2:-1]:
+        s *= d
+    k = kernel.shape[0]
+    if k != 3 or kernel.shape[1] != c or kernel.shape[2] != c:
+        raise NotImplementedError(kernel.shape)
+
+    # (B, F, S, C) -> (S, B, F, C): byte-identical to the conv layout
+    xh = x.reshape(b, f, s, c).transpose(2, 0, 1, 3)
+    if tile is None:
+        budget_rows = max((512 * 1024) // (b * f * c * 2), 8)
+        tile = 1
+        while tile * 2 <= s and tile * 2 <= budget_rows:
+            tile *= 2
+    if s % tile:
+        raise ValueError(f"tile {tile} must divide {s}")
+    n_tiles = s // tile
+
+    w2d = kernel.reshape(k * c, c).astype(x.dtype)
+    in_specs = [
+        pl.BlockSpec((tile, b, f, c), lambda j: (j, 0, 0, 0)),
+        pl.BlockSpec((k * c, c), lambda j: (0, 0)),
+        pl.BlockSpec((1, c), lambda j: (0, 0)),
+    ]
+    args = [xh, w2d, bias.reshape(1, c)]
+    if emb is not None:
+        in_specs.append(pl.BlockSpec((b, c), lambda j: (0, 0)))
+        args.append(emb.reshape(b, c))
+    if residual is not None:
+        residual = jnp.broadcast_to(residual, orig_shape).astype(x.dtype)
+        rh = residual.reshape(b, f, s, c).transpose(2, 0, 1, 3)
+        in_specs.append(pl.BlockSpec((tile, b, f, c), lambda j: (j, 0, 0, 0)))
+        args.append(rh)
+
+    out_shapes = [jax.ShapeDtypeStruct((s, b, f, c), x.dtype)]
+    out_specs = [pl.BlockSpec((tile, b, f, c), lambda j: (j, 0, 0, 0))]
+    if want_stats:
+        out_shapes.append(jax.ShapeDtypeStruct((b, f, 2, c), jnp.float32))
+        out_specs.append(pl.BlockSpec((b, f, 2, c), lambda j: (0, 0, 0, 0)))
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _tconv_hw_kernel,
+            frames=f,
+            has_emb=emb is not None,
+            has_res=residual is not None,
+            want_stats=want_stats,
+        ),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs if want_stats else out_specs[0],
+        out_shape=out_shapes if want_stats else out_shapes[0],
+        interpret=interpret,
+    )(*args)
+
+    y = outs[0] if want_stats else outs
+    y = y.transpose(1, 2, 0, 3).reshape(orig_shape)
+    if want_stats:
+        return y, outs[1]
+    return y
+
+
 def temporal_conv_reference(
     x: jax.Array,
     kernel: jax.Array,
