@@ -72,6 +72,7 @@ def main():
     diffusion = GaussianDiffusion(
         schedule=DiffusionSchedule.create(100, "cosine"),
         objective="pred_v", sampling_timesteps=steps,
+        scan_unroll=int(os.environ.get("V2A_SCAN_UNROLL", "1")),
     )
 
     @jax.jit

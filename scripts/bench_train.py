@@ -80,6 +80,61 @@ def main():
         "vs_baseline": None,
     }))
 
+    # -- end-to-end loop incl. host buffer sampling: synchronous vs prefetch
+    # (the reference samples + `.to(device)` inside the step,
+    # `lb_online_trainer_v7.py:558,586`; the prefetcher overlaps both)
+    from v2a_tpu.data.replay_buffer import ReplayBuffer
+    from v2a_tpu.parallel.prefetch import PrefetchIterator
+
+    buf = ReplayBuffer(64, 200, 20, sample_act_seq_len=cfg.horizon)
+    for ep in range(32):
+        T = 80
+        imgs = rs.randint(0, 255, (T + 1, h, w, 3), dtype=np.uint8)
+        acts = rs.uniform(-1, 1, (T, cfg.action_dim)).astype(np.float32)
+        buf.add_episode("task", "agent", 0, list(imgs), list(acts))
+    np_rng = np.random.default_rng(0)
+
+    def sample_device_batch(rng_local=np_rng):
+        hb = buf.sample_batch(batch, rng_local)
+        return {
+            "obs": {
+                "img_obs_1": jnp.asarray(hb["img_obs"]).astype(jnp.float32)
+                / 255.0,
+                "img_goal_1": jnp.asarray(hb["img_goal"]).astype(jnp.float32)
+                / 255.0,
+            },
+            "action": jnp.asarray(hb["action"]),
+        }
+
+    def run_loop(get_batch, n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, loss, _ = step(
+                state, jax.random.fold_in(rng, 1000 + i), get_batch()
+            )
+        np.asarray(loss)
+        return (time.perf_counter() - t0) / n
+
+    # note the policy loss keys differ from cfg.obs_keys ordering only in
+    # naming; adapt if needed
+    try:
+        sync_dt = run_loop(sample_device_batch, max(n_iters, 4))
+        pf = PrefetchIterator(sample_device_batch, depth=2)
+        try:
+            pf_dt = run_loop(lambda: next(pf), max(n_iters, 4))
+        finally:
+            pf.stop()
+        print(json.dumps({
+            "metric": "train_loop_steps_per_sec_sync_vs_prefetch",
+            "sync": round(1.0 / sync_dt, 3),
+            "prefetch": round(1.0 / pf_dt, 3),
+            "unit": "steps/s/chip",
+            "speedup": round(sync_dt / pf_dt, 3),
+        }))
+    except Exception as e:  # keep the primary metric robust
+        print(json.dumps({"metric": "train_loop_prefetch", "error": str(e)}))
+
 
 if __name__ == "__main__":
     main()

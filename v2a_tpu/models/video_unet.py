@@ -48,7 +48,12 @@ PERF_ABLATE_GN = False
 PERF_SPATIAL_IM2COL = False
 # Run the fused temporal conv on the (H*W, B, F, C) view, byte-identical to
 # the convs' preferred layout, so boundary transposes become bitcasts.
+# MEASURED: XLA materializes the transposes instead (347 ms vs 196) — off.
 PERF_TCONV_HW = False
+# Only fuse pseudo-convs with at least this many features: boundary
+# relayout cost scales with tensor size, so restricting fusion to deeper
+# levels can net-win. 0 = fuse everywhere.
+PERF_FUSED_MIN_CH = 0
 
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
@@ -256,7 +261,10 @@ class PseudoConv3d(nn.Module):
         has_temporal = k > 1 and not PERF_ABLATE_TEMPORAL
         # the Pallas kernel wants lane-aligned channels; the only narrow
         # case in the real model is the 3-channel output head
-        use_fused = self.fused and has_temporal and self.features % 128 == 0
+        use_fused = (
+            self.fused and has_temporal and self.features % 128 == 0
+            and self.features >= PERF_FUSED_MIN_CH
+        )
         if has_temporal and not use_fused:
             # temporal conv over F with spatial dims folded into the batch
             # (`nn.py:74-84`). Measured at the production shape

@@ -236,20 +236,25 @@ def _tconv_hw_kernel(
     x = x_ref[:]  # (tile, B, F, C)
     tile, b, f, c = x.shape
     w = w_ref[:]  # (3C, C)
+    # per-tap dots: Mosaic cannot concat F-sliced vectors whose sublane
+    # offsets differ, and the 3-dot form measured equal to the concat form
+    w0, w1, w2 = w[:c], w[c:2 * c], w[2 * c:]
     bias = b_ref[0].astype(jnp.float32)  # (C,)
     emb = emb_ref[:].astype(jnp.float32) if has_emb else None  # (B, C)
-    zeros = jnp.zeros((tile, b, c), x.dtype)
+
+    def tap(xs, wt):
+        return jax.lax.dot_general(
+            xs.reshape(tile * b, c), wt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     for fi in range(frames):
-        xm1 = x[:, :, fi - 1] if fi > 0 else zeros
-        xp1 = x[:, :, fi + 1] if fi < frames - 1 else zeros
-        cat = jnp.concatenate([xm1, x[:, :, fi], xp1], axis=-1).reshape(
-            tile * b, 3 * c
-        )
-        y = jax.lax.dot_general(
-            cat, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(tile, b, c)
+        y = tap(x[:, :, fi], w1)
+        if fi > 0:
+            y = y + tap(x[:, :, fi - 1], w0)
+        if fi < frames - 1:
+            y = y + tap(x[:, :, fi + 1], w2)
+        y = y.reshape(tile, b, c)
         y = y + bias[None, None, :]
         if has_emb:
             y = y + emb[None, :, :]
