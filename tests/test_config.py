@@ -124,3 +124,34 @@ def test_train_entry_script_fake_backend(tmp_path):
     files = set(os.listdir(workdirs[0]))
     assert any(f.startswith("model-") for f in files), files
     assert "metrics.jsonl" in files or any("metric" in f for f in files), files
+
+
+def test_build_experiment_with_mesh_config(tmp_path):
+    """mesh_axes/mesh_shape in the experiment config construct a real mesh
+    and a sharded trainer through the production builder."""
+    from v2a_tpu.config.experiment import ExperimentConfig
+    from v2a_tpu.models.policy import PolicyConfig
+    from v2a_tpu.train.build import build_experiment
+    from v2a_tpu.train.trainer import TrainerConfig
+
+    cfg = ExperimentConfig(
+        dataset="fake-2tk-small-v0",
+        env_backend="fake",
+        logbase=str(tmp_path),
+        mesh_axes=("dp", "tp"),
+        mesh_shape=(2, 4),
+        policy=PolicyConfig(
+            image_size=(32, 32), down_dims=(32, 64), horizon=8,
+            n_action_steps=4, num_train_timesteps=10,
+            num_inference_steps=10, num_inference_steps_ddim=2,
+        ),
+        trainer=TrainerConfig(
+            randsam_path="", min_len_uB=9, model_act_horizon=8,
+            buf_sample_batch_size=8, n_train_steps=2,
+        ),
+    )
+    trainer, policy, env_list, video_model = build_experiment(
+        cfg, workdir=str(tmp_path / "wd"), with_video_model=False,
+    )
+    assert trainer.mesh is not None
+    assert dict(trainer.mesh.shape) == {"dp": 2, "tp": 4}

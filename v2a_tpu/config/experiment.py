@@ -52,6 +52,13 @@ class ExperimentConfig:
     video_ckpt_milestone: int = 180000
     do_train_resume: bool = False
     env_backend: str = "libero"  # or "fake" for hermetic runs
+    # device mesh for multi-chip training: axis names + shape, e.g.
+    # ("dp",) / ("dp", "tp") with (4, 2) on a v5e-8; empty = single device.
+    # "auto_dp" spans all devices with one dp axis.
+    mesh_axes: Tuple[str, ...] = ()
+    mesh_shape: Tuple[int, ...] = ()
+    # subprocess env workers for pool-parallel exploration (0 = serial)
+    n_env_workers: int = 0
 
     policy: PolicyConfig = dataclasses.field(default_factory=PolicyConfig)
     trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)

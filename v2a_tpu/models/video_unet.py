@@ -54,6 +54,11 @@ PERF_TCONV_HW = False
 # relayout cost scales with tensor size, so restricting fusion to deeper
 # levels can net-win. 0 = fuse everywhere.
 PERF_FUSED_MIN_CH = 0
+# In the fused path, never materialize the up-path skip concatenation:
+# conv(concat(h, skip)) = conv(h, W[:Ch]) + conv(skip, W[Ch:]), and the
+# GroupNorm affine splits per part — XLA implements big concats as async
+# HBM copy chains (the round-2 trace's 100 ms slice/copy tail).
+PERF_SPLIT_SKIP = True
 
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
@@ -190,6 +195,23 @@ def _im2col_conv(y: jax.Array, kernel: jax.Array, bias: jax.Array,
     return (out + bias.astype(dtype)).reshape(n, h, w, d)
 
 
+class _NormParams(nn.Module):
+    """Parameter container matching GroupNorm32's {scale, bias} layout, for
+    the split-skip affine application."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return scale, bias
+
+
 class _TemporalConvParams(nn.Module):
     """Parameter container matching nn.Conv's {kernel, bias} layout so the
     fused Pallas path shares checkpoints with the transpose+conv1d path."""
@@ -234,28 +256,53 @@ class PseudoConv3d(nn.Module):
         residual: Optional[jax.Array] = None,
         want_stats: bool = False,
     ):
-        b, f, h, w, c = x.shape
         k = self.kernel_size
-        kernel_init = (
-            nn.initializers.zeros if self.zero_init
-            else nn.initializers.lecun_normal()
-        )
-        y = x.reshape(b * f, h, w, c)
-        if (
-            PERF_SPATIAL_IM2COL
-            and k == 3
-            and self.spatial_strides == (1, 1)
-        ):
-            kernel, bias2 = _Conv2DParams(
+        if isinstance(x, (tuple, list)):
+            # split formulation: conv(concat(parts)) computed as a sum of
+            # per-part convs on a channel-sliced kernel — the concat never
+            # exists in HBM. Parameter tree identical to nn.Conv.
+            parts = tuple(x)
+            b, f, h, w = parts[0].shape[:4]
+            cin = sum(p.shape[-1] for p in parts)
+            kernel, kbias = _Conv2DParams(
                 self.features, k, self.zero_init, name="spatial_conv"
-            )(c)
-            y = _im2col_conv(y, kernel, bias2, self.dtype)
+            )(cin)
+            y = None
+            off = 0
+            for p in parts:
+                pc = p.shape[-1]
+                yp = jax.lax.conv_general_dilated(
+                    p.reshape(b * f, h, w, pc).astype(self.dtype),
+                    kernel[:, :, off:off + pc].astype(self.dtype),
+                    self.spatial_strides,
+                    [(k // 2, k // 2), (k // 2, k // 2)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                y = yp if y is None else y + yp
+                off += pc
+            y = y + kbias.astype(self.dtype)
         else:
-            y = nn.Conv(
-                self.features, (k, k), strides=self.spatial_strides,
-                padding=k // 2, dtype=self.dtype, kernel_init=kernel_init,
-                name="spatial_conv",
-            )(y)
+            b, f, h, w, c = x.shape
+            kernel_init = (
+                nn.initializers.zeros if self.zero_init
+                else nn.initializers.lecun_normal()
+            )
+            y = x.reshape(b * f, h, w, c)
+            if (
+                PERF_SPATIAL_IM2COL
+                and k == 3
+                and self.spatial_strides == (1, 1)
+            ):
+                kernel, bias2 = _Conv2DParams(
+                    self.features, k, self.zero_init, name="spatial_conv"
+                )(c)
+                y = _im2col_conv(y, kernel, bias2, self.dtype)
+            else:
+                y = nn.Conv(
+                    self.features, (k, k), strides=self.spatial_strides,
+                    padding=k // 2, dtype=self.dtype, kernel_init=kernel_init,
+                    name="spatial_conv",
+                )(y)
         nh, nw = y.shape[1], y.shape[2]
         y = y.reshape(b, f, nh, nw, self.features)
         has_temporal = k > 1 and not PERF_ABLATE_TEMPORAL
@@ -347,9 +394,9 @@ class ResBlock3D(nn.Module):
         stats: Optional[jax.Array] = None,
         deterministic: bool = True,
     ):
-        c = x.shape[-1]
         if self.fused:
             return self._fused(x, emb, stats, deterministic)
+        c = x.shape[-1]
         h = GroupNorm32(
             with_silu=True, use_pallas=self.use_pallas_gn, name="in_norm"
         )(x).astype(self.dtype)
@@ -389,7 +436,13 @@ class ResBlock3D(nn.Module):
 
     def _fused(self, x, emb, stats, deterministic):
         """Same math, Pallas interior. Module names match the plain path so
-        the parameter tree (and converted checkpoints) are identical."""
+        the parameter tree (and converted checkpoints) are identical.
+
+        `x` may be a TUPLE of channel parts (the up-path (h, skip) pair,
+        never concatenated — `PERF_SPLIT_SKIP`); `stats` is then a matching
+        tuple of per-part (B, F, 2, C_i) stats (entries may be None)."""
+        if isinstance(x, tuple):
+            return self._fused_split(x, emb, stats, deterministic)
         c = x.shape[-1]
         st_in = jnp.sum(stats, axis=1) if stats is not None else None
         h = GroupNorm32(
@@ -427,6 +480,80 @@ class ResBlock3D(nn.Module):
             self.out_channels, 3, dtype=self.dtype, fused=True,
             name="out_conv",
         )(h, residual=x, want_stats=True)
+        return out, out_stats
+
+    def _fused_split(self, parts, emb, part_stats, deterministic):
+        """The (h, skip) pair variant: GroupNorm collapses to per-channel
+        affines applied per part, and in_conv/skip_conv run as channel-split
+        convolution sums — the concatenation never hits HBM."""
+        from v2a_tpu.ops.resblock_kernels import stats_to_group_affine
+
+        if part_stats is None:
+            part_stats = (None,) * len(parts)
+        c = sum(p.shape[-1] for p in parts)
+        if c == self.out_channels:
+            raise ValueError("split path expects a channel-changing block")
+
+        # per-channel (B, 2, C_i) stats per part, forwarded or recomputed
+        sts = []
+        for p, st in zip(parts, part_stats):
+            if st is not None:
+                sts.append(jnp.sum(st, axis=1))
+            else:
+                pf = p.astype(jnp.float32)
+                sts.append(jnp.stack(
+                    [pf.sum(axis=(1, 2, 3)), (pf * pf).sum(axis=(1, 2, 3))],
+                    axis=1,
+                ))
+        st_in = jnp.concatenate(sts, axis=-1)  # (B, 2, C)
+
+        scale, bias = _NormParams(c, name="in_norm")()
+        n_pc = 1
+        for d in parts[0].shape[1:-1]:
+            n_pc *= d
+        a, bshift = stats_to_group_affine(st_in, scale, bias, n_pc, 32)
+        normed = []
+        off = 0
+        bdim = parts[0].shape[0]
+        bc = (bdim,) + (1,) * (parts[0].ndim - 2)
+        for p in parts:
+            pc = p.shape[-1]
+            ai = a[:, off:off + pc].reshape(bc + (pc,))
+            bi = bshift[:, off:off + pc].reshape(bc + (pc,))
+            normed.append(
+                nn.silu(p.astype(jnp.float32) * ai + bi).astype(self.dtype)
+            )
+            off += pc
+
+        emb_out = nn.Dense(
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            dtype=self.dtype, name="emb_proj",
+        )(nn.silu(emb.astype(self.dtype)))
+        conv_emb = None if self.use_scale_shift_norm else emb_out
+        h, h_stats = PseudoConv3d(
+            self.out_channels, 3, dtype=self.dtype, fused=True, name="in_conv"
+        )(tuple(normed), emb=conv_emb, want_stats=True)
+
+        st2 = jnp.sum(h_stats, axis=1)
+        if self.use_scale_shift_norm:
+            sc, sh = jnp.split(emb_out[:, None, None, None, :], 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h, stats=st2)
+            h = h * (1 + sc) + sh
+            h = nn.silu(h).astype(self.dtype)
+        else:
+            h = GroupNorm32(with_silu=True, name="out_norm")(
+                h, stats=st2
+            ).astype(self.dtype)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+
+        x_skip = PseudoConv3d(
+            self.out_channels, 1, dtype=self.dtype, name="skip_conv"
+        )(parts)
+        out, out_stats = PseudoConv3d(
+            self.out_channels, 3, dtype=self.dtype, fused=True,
+            name="out_conv",
+        )(h, residual=x_skip, want_stats=True)
         return out, out_stats
 
 
@@ -624,15 +751,21 @@ class VideoUNet(nn.Module):
             ch = int(mult * mc)
             for i in range(self.num_res_blocks + 1):
                 skip, skip_st = hs.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
-                if st is not None and skip_st is not None:
-                    st = jnp.concatenate([st, skip_st], axis=-1)
+                if fused and PERF_SPLIT_SKIP:
+                    # the (h, skip) pair travels unconcatenated; the block
+                    # splits its norm affine and convolutions per part
+                    h_in = (h, skip)
+                    st_in = (st, skip_st)
                 else:
-                    st = None
+                    h_in = jnp.concatenate([h, skip], axis=-1)
+                    if st is not None and skip_st is not None:
+                        st_in = jnp.concatenate([st, skip_st], axis=-1)
+                    else:
+                        st_in = None
                 h = ResBlock3D(
                     ch, self.dropout, self.use_scale_shift_norm, self.dtype,
                     self.use_pallas_gn, fused, name=f"up_res_{block_idx}",
-                )(h, emb, stats=st, deterministic=deterministic)
+                )(h_in, emb, stats=st_in, deterministic=deterministic)
                 if fused:
                     h, st = h
                 if ds in self.attention_resolutions:

@@ -71,6 +71,26 @@ def build_experiment(
     policy = DiffusionPolicy.create(cfg.policy)
     video_model = make_video_model(cfg) if with_video_model else None
 
+    mesh = None
+    if cfg.mesh_axes:
+        from v2a_tpu.parallel.mesh import make_mesh
+
+        if cfg.mesh_axes == ("auto_dp",):
+            mesh = make_mesh(("dp",))
+        else:
+            mesh = make_mesh(
+                tuple(cfg.mesh_axes),
+                tuple(cfg.mesh_shape) if cfg.mesh_shape else None,
+            )
+        if video_model is not None and "tp" in mesh.axis_names:
+            video_model.shard_for_mesh(mesh)
+
+    env_pool = None
+    if cfg.n_env_workers > 0:
+        from v2a_tpu.envs.subproc import EnvWorkerPool
+
+        env_pool = EnvWorkerPool(cfg.dataset, cfg.n_env_workers)
+
     trainer = OnlineTrainer(
         policy=policy,
         env_list=env_list,
@@ -81,6 +101,8 @@ def build_experiment(
         opt_config=cfg.opt,
         ema_config=cfg.ema,
         seed=cfg.seed,
+        mesh=mesh,
+        env_pool=env_pool,
     )
     if snapshot:
         save_snapshot(cfg, workdir)
