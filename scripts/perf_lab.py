@@ -428,6 +428,11 @@ def main():
             results[name] = time_forward(build(fused=True), name)
             video_unet.PERF_TCONV_HW = False
             continue
+        if name == "fused_spatial":
+            video_unet.PERF_PALLAS_SPATIAL = True
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_PALLAS_SPATIAL = False
+            continue
         if name.startswith("fused_min"):
             video_unet.PERF_FUSED_MIN_CH = int(name[len("fused_min"):])
             results[name] = time_forward(build(fused=True), name)

@@ -282,3 +282,22 @@ def test_temporal_conv_fused_hw_matches_reference():
     got2 = temporal_conv_fused_hw(x, kernel, bias, interpret=True, tile=4)
     want2 = temporal_conv_reference(x, kernel, bias)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-4)
+
+
+def test_spatial_conv3x3_matches_flax_conv():
+    from flax import linen as nn
+    from v2a_tpu.ops.resblock_kernels import spatial_conv3x3
+
+    rs = np.random.RandomState(0)
+    n, h, w, c, d = 3, 8, 16, 128, 128
+    x = jnp.asarray(rs.randn(n, h, w, c), jnp.float32)
+    kernel = jnp.asarray(rs.randn(3, 3, c, d) * 0.05, jnp.float32)
+    bias = jnp.asarray(rs.randn(d) * 0.1, jnp.float32)
+    conv = nn.Conv(d, (3, 3), padding=1)
+    want = conv.apply({"params": {"kernel": kernel, "bias": bias}}, x)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    got = spatial_conv3x3(xp, kernel, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    got2 = spatial_conv3x3(xp, kernel, bias, interpret=True, tile_h=4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=1e-4)

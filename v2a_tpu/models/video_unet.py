@@ -59,6 +59,10 @@ PERF_FUSED_MIN_CH = 0
 # GroupNorm affine splits per part — XLA implements big concats as async
 # HBM copy chains (the round-2 trace's 100 ms slice/copy tail).
 PERF_SPLIT_SKIP = True
+# Run 3x3 stride-1 spatial convs through the Pallas row-major kernel
+# (ops/resblock_kernels.py::spatial_conv3x3) so the whole fused ResBlock
+# interior stays in ONE layout (no {3,0,2,1} relayout fusions).
+PERF_PALLAS_SPATIAL = False
 
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
@@ -267,20 +271,40 @@ class PseudoConv3d(nn.Module):
             kernel, kbias = _Conv2DParams(
                 self.features, k, self.zero_init, name="spatial_conv"
             )(cin)
+            use_pallas_spatial = (
+                PERF_PALLAS_SPATIAL and k == 3
+                and self.spatial_strides == (1, 1)
+                and self.features % 128 == 0
+                and all(p.shape[-1] % 128 == 0 for p in parts)
+            )
             y = None
             off = 0
             for p in parts:
                 pc = p.shape[-1]
-                yp = jax.lax.conv_general_dilated(
-                    p.reshape(b * f, h, w, pc).astype(self.dtype),
-                    kernel[:, :, off:off + pc].astype(self.dtype),
-                    self.spatial_strides,
-                    [(k // 2, k // 2), (k // 2, k // 2)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
+                if use_pallas_spatial:
+                    from v2a_tpu.ops.resblock_kernels import spatial_conv3x3
+
+                    xp = jnp.pad(
+                        p.reshape(b * f, h, w, pc).astype(self.dtype),
+                        ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    )
+                    yp = spatial_conv3x3(
+                        xp, kernel[:, :, off:off + pc],
+                        kbias if y is None else jnp.zeros_like(kbias),
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                else:
+                    yp = jax.lax.conv_general_dilated(
+                        p.reshape(b * f, h, w, pc).astype(self.dtype),
+                        kernel[:, :, off:off + pc].astype(self.dtype),
+                        self.spatial_strides,
+                        [(k // 2, k // 2), (k // 2, k // 2)],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
                 y = yp if y is None else y + yp
                 off += pc
-            y = y + kbias.astype(self.dtype)
+            if not use_pallas_spatial:
+                y = y + kbias.astype(self.dtype)
         else:
             b, f, h, w, c = x.shape
             kernel_init = (
@@ -289,6 +313,26 @@ class PseudoConv3d(nn.Module):
             )
             y = x.reshape(b * f, h, w, c)
             if (
+                PERF_PALLAS_SPATIAL
+                and self.fused
+                and k == 3
+                and self.spatial_strides == (1, 1)
+                and c % 128 == 0
+                and self.features % 128 == 0
+            ):
+                from v2a_tpu.ops.resblock_kernels import spatial_conv3x3
+
+                kernel, bias2 = _Conv2DParams(
+                    self.features, k, self.zero_init, name="spatial_conv"
+                )(c)
+                xp = jnp.pad(
+                    y.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0))
+                )
+                y = spatial_conv3x3(
+                    xp, kernel, bias2,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            elif (
                 PERF_SPATIAL_IM2COL
                 and k == 3
                 and self.spatial_strides == (1, 1)

@@ -425,3 +425,88 @@ def stats_to_group_affine(
     a = rstd_c * scale.astype(jnp.float32)[None, :]
     bshift = bias.astype(jnp.float32)[None, :] - mean_c * a
     return a, bshift
+
+
+# -- spatial 3x3 conv ---------------------------------------------------------
+
+
+def _spatial3x3_kernel(
+    xp_ref, w_ref, b_ref, o_ref, scratch, sem,
+    *, th: int, w_out: int, cin: int, cout: int,
+):
+    """One (image, row-tile) step: DMA the haloed (th+2, W+2, C) row band
+    from HBM, then accumulate the 9 tap matmuls in fp32."""
+    n = pl.program_id(0)
+    j = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        xp_ref.at[n, pl.ds(j * th, th + 2)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+    acc = None
+    for di in range(3):
+        for dj in range(3):
+            xs = scratch[di:di + th, dj:dj + w_out, :]
+            xs = xs.reshape(th * w_out, cin)
+            part = jax.lax.dot_general(
+                xs, w_ref[di, dj], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+    y = acc + b_ref[0].astype(jnp.float32)[None, :]
+    o_ref[0] = y.reshape(th, w_out, cout).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tile_h")
+)
+def spatial_conv3x3(
+    xp: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    interpret: bool = False,
+    tile_h: Optional[int] = None,
+):
+    """3x3 stride-1 conv over a PRE-PADDED row-major image batch.
+
+    xp: (N, H+2, W+2, C) — the caller pads (and typically fuses the
+    GroupNorm affine + SiLU into the padding pass); kernel (3, 3, C, D)
+    flax layout; returns (N, H, W, D). Row-major in and out, so the fused
+    ResBlock interior never leaves the default layout (the XLA conv
+    emitter's {3,0,2,1} operand layout forces multi-ms relayout fusions at
+    every Pallas boundary — PERF.md round 2 trace).
+    """
+    n, hp, wp, c = xp.shape
+    h, w = hp - 2, wp - 2
+    d = kernel.shape[-1]
+    if kernel.shape[:3] != (3, 3, c):
+        raise ValueError(f"kernel {kernel.shape} vs input C={c}")
+
+    if tile_h is None:
+        # keep scratch + fp32 accumulator + weights within a VMEM budget
+        budget = 2 * 1024 * 1024
+        tile_h = h
+        while tile_h > 8 and tile_h * w * max(c * 2, d * 4) > budget:
+            tile_h //= 2
+    while h % tile_h:
+        tile_h //= 2
+    n_tiles = h // tile_h
+
+    return pl.pallas_call(
+        functools.partial(
+            _spatial3x3_kernel, th=tile_h, w_out=w, cin=c, cout=d,
+        ),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, 3, c, d), lambda i, j: (0, 0, 0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, w, d), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, d), xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2, wp, c), xp.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, kernel.astype(xp.dtype), bias.reshape(1, d))
