@@ -224,9 +224,16 @@ class VideoPredModel:
 
     # -- sampling ----------------------------------------------------------
 
-    def _model_fn(self, unet_params):
+    def _model_fn(self, unet_params, for_training: bool = False):
+        """`for_training=True` routes through the non-Pallas module: the
+        fused kernels define no VJP (inference-only), and both variants
+        share the identical parameter tree."""
+        unet = self.unet
+        if for_training and getattr(unet, "fused", False):
+            unet = unet.clone(fused=False)
+
         def fn(x, t, task_embed):
-            return self.unet.apply(unet_params, x, t, task_embed)
+            return unet.apply(unet_params, x, t, task_embed)
 
         return fn
 
@@ -289,7 +296,8 @@ class VideoPredModel:
     ) -> jax.Array:
         x_cond_n = (x_cond01 * 2.0 - 1.0)[:, None]
         return self.diffusion.p_losses(
-            self._model_fn(params["unet"]), rng, video01, x_cond_n, task_embed
+            self._model_fn(params["unet"], for_training=True),
+            rng, video01, x_cond_n, task_embed,
         )
 
     def param_count(self) -> int:
