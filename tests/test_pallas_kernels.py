@@ -296,8 +296,7 @@ def test_spatial_conv3x3_matches_flax_conv():
     conv = nn.Conv(d, (3, 3), padding=1)
     want = conv.apply({"params": {"kernel": kernel, "bias": bias}}, x)
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    got = spatial_conv3x3(xp, kernel, bias, interpret=True)
+    got = spatial_conv3x3(x, kernel, bias, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
-    got2 = spatial_conv3x3(xp, kernel, bias, interpret=True, tile_h=4)
+    got2 = spatial_conv3x3(x, kernel, bias, interpret=True, tile_h=4)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=1e-4)

@@ -284,12 +284,9 @@ class PseudoConv3d(nn.Module):
                 if use_pallas_spatial:
                     from v2a_tpu.ops.resblock_kernels import spatial_conv3x3
 
-                    xp = jnp.pad(
-                        p.reshape(b * f, h, w, pc).astype(self.dtype),
-                        ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    )
                     yp = spatial_conv3x3(
-                        xp, kernel[:, :, off:off + pc],
+                        p.reshape(b * f, h, w, pc).astype(self.dtype),
+                        kernel[:, :, off:off + pc],
                         kbias if y is None else jnp.zeros_like(kbias),
                         interpret=jax.default_backend() == "cpu",
                     )
@@ -325,11 +322,8 @@ class PseudoConv3d(nn.Module):
                 kernel, bias2 = _Conv2DParams(
                     self.features, k, self.zero_init, name="spatial_conv"
                 )(c)
-                xp = jnp.pad(
-                    y.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0))
-                )
                 y = spatial_conv3x3(
-                    xp, kernel, bias2,
+                    y.astype(self.dtype), kernel, bias2,
                     interpret=jax.default_backend() == "cpu",
                 )
             elif (

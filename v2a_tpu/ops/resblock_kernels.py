@@ -461,26 +461,29 @@ def _spatial3x3_kernel(
     jax.jit, static_argnames=("interpret", "tile_h")
 )
 def spatial_conv3x3(
-    xp: jax.Array,
+    x: jax.Array,
     kernel: jax.Array,
     bias: jax.Array,
     interpret: bool = False,
     tile_h: Optional[int] = None,
 ):
-    """3x3 stride-1 conv over a PRE-PADDED row-major image batch.
+    """3x3 stride-1 SAME conv over a row-major image batch.
 
-    xp: (N, H+2, W+2, C) — the caller pads (and typically fuses the
-    GroupNorm affine + SiLU into the padding pass); kernel (3, 3, C, D)
-    flax layout; returns (N, H, W, D). Row-major in and out, so the fused
-    ResBlock interior never leaves the default layout (the XLA conv
-    emitter's {3,0,2,1} operand layout forces multi-ms relayout fusions at
-    every Pallas boundary — PERF.md round 2 trace).
+    x: (N, H, W, C) raw (the producer's write typically fuses the GroupNorm
+    affine + SiLU); kernel (3, 3, C, D) flax layout; returns (N, H, W, D).
+    Row-major in and out, so the fused ResBlock interior never leaves the
+    default layout (the XLA conv emitter's {3,0,2,1} operand layout forces
+    multi-ms relayout fusions at every Pallas boundary — PERF.md round 2
+    trace). The width is zero-padded up to a sublane multiple so the
+    haloed HBM row-band DMA stays tiling-aligned.
     """
-    n, hp, wp, c = xp.shape
-    h, w = hp - 2, wp - 2
+    n, h, w, c = x.shape
     d = kernel.shape[-1]
     if kernel.shape[:3] != (3, 3, c):
         raise ValueError(f"kernel {kernel.shape} vs input C={c}")
+    wp = ((w + 2 + 7) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    hp = h + 2
 
     if tile_h is None:
         # keep scratch + fp32 accumulator + weights within a VMEM budget
