@@ -72,7 +72,8 @@ def main():
     diffusion = GaussianDiffusion(
         schedule=DiffusionSchedule.create(100, "cosine"),
         objective="pred_v", sampling_timesteps=steps,
-        scan_unroll=int(os.environ.get("V2A_SCAN_UNROLL", "1")),
+        # unroll 4 amortizes per-step control flow (+1% measured on-chip)
+        scan_unroll=int(os.environ.get("V2A_SCAN_UNROLL", "4" if on_tpu else "1")),
     )
 
     @jax.jit

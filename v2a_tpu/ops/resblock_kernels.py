@@ -432,10 +432,13 @@ def stats_to_group_affine(
 
 def _spatial3x3_kernel(
     xp_ref, w_ref, b_ref, o_ref, scratch, sem,
-    *, th: int, w_out: int, cin: int, cout: int,
+    *, th: int, w_out: int, wp: int, cin: int, cout: int,
 ):
-    """One (image, row-tile) step: DMA the haloed (th+2, W+2, C) row band
-    from HBM, then accumulate the 9 tap matmuls in fp32."""
+    """One (image, row-tile) step: DMA the haloed (th+2, Wp, C) row band
+    from HBM, build the two column-shifted variants with `pltpu.roll`
+    (zero-padded borders make the cyclic wrap harmless on the first W
+    output columns), then accumulate 9 CONTIGUOUS full-width matmuls in
+    fp32 — no strided reshape copies."""
     n = pl.program_id(0)
     j = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -443,11 +446,14 @@ def _spatial3x3_kernel(
     )
     dma.start()
     dma.wait()
+    x0 = scratch[:]  # (th+2, Wp, C)
+    # materialize the three column-shifted variants ONCE (Mosaic cannot
+    # rotate bf16 vectors, and per-tap strided slices cost 9 copies)
+    shifted = [x0[:, dj:dj + w_out, :] for dj in range(3)]
     acc = None
     for di in range(3):
         for dj in range(3):
-            xs = scratch[di:di + th, dj:dj + w_out, :]
-            xs = xs.reshape(th * w_out, cin)
+            xs = shifted[dj][di:di + th].reshape(th * w_out, cin)
             part = jax.lax.dot_general(
                 xs, w_ref[di, dj], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -486,10 +492,11 @@ def spatial_conv3x3(
     hp = h + 2
 
     if tile_h is None:
-        # keep scratch + fp32 accumulator + weights within a VMEM budget
-        budget = 2 * 1024 * 1024
+        # keep the 3 shifted scratch copies + fp32 accumulator + weights
+        # within a VMEM budget
+        budget = 6 * 1024 * 1024
         tile_h = h
-        while tile_h > 8 and tile_h * w * max(c * 2, d * 4) > budget:
+        while tile_h > 8 and tile_h * (w + 8) * (c * 6 + d * 4) > budget:
             tile_h //= 2
     while h % tile_h:
         tile_h //= 2
@@ -497,7 +504,7 @@ def spatial_conv3x3(
 
     return pl.pallas_call(
         functools.partial(
-            _spatial3x3_kernel, th=tile_h, w_out=w, cin=c, cout=d,
+            _spatial3x3_kernel, th=tile_h, w_out=w, wp=wp, cin=c, cout=d,
         ),
         grid=(n, n_tiles),
         in_specs=[
