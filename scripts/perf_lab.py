@@ -16,8 +16,11 @@ does not reliably block through the axon tunnel, CLAUDE.md).
 Usage: python scripts/perf_lab.py [variant ...]   (default: all)
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -193,10 +196,37 @@ def tconv_bench():
             )
             return y
 
+        def conv2d_form(x, _):
+            t = x.reshape(b, f, h * w, c)
+            y = jax.lax.conv_general_dilated(
+                t, kernel.reshape(3, 1, c, c).astype(jnp.bfloat16),
+                (1, 1), [(1, 1), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return (y + bias.astype(jnp.bfloat16)).reshape(b, f, h, w, c)
+
+        def conv2d_full(x, _):
+            t = x.reshape(b, f, h * w, c)
+            y = jax.lax.conv_general_dilated(
+                t, kernel.reshape(3, 1, c, c).astype(jnp.bfloat16),
+                (1, 1), [(1, 1), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = y + bias.astype(jnp.bfloat16) + emb[:, None, None, :].astype(
+                jnp.bfloat16
+            )
+            yf = y.astype(jnp.float32)
+            stats = jnp.stack([yf.sum(axis=2), (yf * yf).sum(axis=2)], axis=2)
+            # keep the stats live without folding to a no-op
+            y = y + (1e-30 * stats[:, :, :1, :]).astype(y.dtype)
+            return y.reshape(b, f, h, w, c)
+
         for label, fn in (
             ("transpose", transpose_form),
             ("pallas", pallas_form),
             ("pallas+es", pallas_full),
+            ("conv2d", conv2d_form),
+            ("conv2d+es", conv2d_full),
         ):
             dt = _time_chained(fn, x, jnp.zeros(()))
             print(
@@ -417,6 +447,23 @@ def main():
             continue
         if name == "fused":
             results[name] = time_forward(build(fused=True), name)
+            continue
+        if name.startswith("fused_spatial2_"):
+            # deep-level fused affine+SiLU+3x3 Pallas conv for levels with
+            # features >= N (e.g. fused_spatial2_512 = L3+L4)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = int(
+                name[len("fused_spatial2_"):]
+            )
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            continue
+        if name.startswith("fused_xla2d"):
+            # temporal conv as an XLA (3,1)-kernel 2D conv when H*W >= N
+            # (suffix; default 1 = everywhere) — zero Pallas boundaries
+            suffix = name[len("fused_xla2d"):]
+            video_unet.PERF_TCONV_XLA2D_MIN_S = int(suffix) if suffix else 1
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_TCONV_XLA2D_MIN_S = 0
             continue
         if name == "fused_im2col":
             video_unet.PERF_SPATIAL_IM2COL = True

@@ -263,6 +263,75 @@ def test_video_unet_fused_scale_shift_matches_default():
     )
 
 
+def test_video_unet_fused_xla2d_tconv_matches_default():
+    """PERF_TCONV_XLA2D_MIN_S routes the fused temporal conv through an XLA
+    (k,1)-kernel 2D convolution over the (B, F, H*W, C) view (zero Pallas
+    boundaries, so no relayout fusions on TPU) — must match the plain path
+    with the same params, including the stats-forwarding chain."""
+    from v2a_tpu.models import video_unet
+    from v2a_tpu.models.video_unet import VideoUNet
+
+    kw = dict(
+        in_channels=6, model_channels=128, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=32,
+        task_token_dim=64,
+    )
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(1, 2, 8, 8, 6), jnp.float32)
+    t = jnp.asarray([5], jnp.int32)
+    tok = jnp.asarray(rs.randn(1, 4, 64), jnp.float32)
+
+    base = VideoUNet(**kw)
+    params = base.init(jax.random.PRNGKey(0), x, t, tok)
+    out0 = base.apply(params, x, t, tok)
+    video_unet.PERF_TCONV_XLA2D_MIN_S = 1
+    try:
+        out1 = VideoUNet(fused=True, **kw).apply(params, x, t, tok)
+    finally:
+        video_unet.PERF_TCONV_XLA2D_MIN_S = 0
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_video_unet_spatial2_path_matches_default():
+    """PERF_PALLAS_SPATIAL2_MIN_CH routes deep-level 3x3 convs through the
+    fused affine+SiLU im2col kernel (interpret mode on CPU) — must match the
+    plain path, incl. the split-skip up blocks and the Upsample conv."""
+    from v2a_tpu.models import video_unet
+    from v2a_tpu.models.video_unet import VideoUNet
+
+    kw = dict(
+        in_channels=6, model_channels=128, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=32,
+        task_token_dim=64,
+    )
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(1, 2, 8, 8, 6), jnp.float32)
+    t = jnp.asarray([5], jnp.int32)
+    tok = jnp.asarray(rs.randn(1, 4, 64), jnp.float32)
+
+    base = VideoUNet(**kw)
+    params = base.init(jax.random.PRNGKey(0), x, t, tok)
+    out0 = base.apply(params, x, t, tok)
+    video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 128
+    try:
+        fused = VideoUNet(fused=True, **kw)
+        params_fused = jax.eval_shape(
+            lambda r: fused.init(r, x, t, tok), jax.random.PRNGKey(0)
+        )
+        assert (
+            jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_fused)
+        ), "spatial2 path must keep the parameter tree identical"
+        out1 = fused.apply(params, x, t, tok)
+    finally:
+        video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), atol=5e-4, rtol=1e-3
+    )
+
+
 def test_temporal_conv_fused_hw_matches_reference():
     from v2a_tpu.ops.resblock_kernels import (
         temporal_conv_fused_hw, temporal_conv_reference,
@@ -282,6 +351,46 @@ def test_temporal_conv_fused_hw_matches_reference():
     got2 = temporal_conv_fused_hw(x, kernel, bias, interpret=True, tile=4)
     want2 = temporal_conv_reference(x, kernel, bias)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-4)
+
+
+def test_fused_affine_conv3x3_matches_reference():
+    """The deep-level affine+SiLU+3x3-conv kernel vs flax Conv + manual
+    affine, incl. the padded-border re-zeroing under the affine."""
+    from flax import linen as nn
+    from v2a_tpu.ops.resblock_kernels import fused_affine_conv3x3
+
+    rs = np.random.RandomState(0)
+    n, h, w, c, d = 4, 8, 8, 128, 128
+    x = jnp.asarray(rs.randn(n, h, w, c), jnp.float32)
+    kernel = jnp.asarray(rs.randn(3, 3, c, d) * 0.05, jnp.float32)
+    bias = jnp.asarray(rs.randn(d) * 0.1, jnp.float32)
+    a = jnp.asarray(rs.rand(n, c) + 0.5, jnp.float32)
+    b = jnp.asarray(rs.randn(n, c) * 0.1, jnp.float32)
+
+    conv = nn.Conv(d, (3, 3), padding=1)
+    params = {"params": {"kernel": kernel, "bias": bias}}
+
+    # plain conv (no affine)
+    got = fused_affine_conv3x3(x, kernel, bias, interpret=True)
+    want = conv.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    # affine + SiLU + conv
+    xa = x * a[:, None, None, :] + b[:, None, None, :]
+    xa = xa * jax.nn.sigmoid(xa)
+    want2 = conv.apply(params, xa)
+    got2 = fused_affine_conv3x3(x, kernel, bias, a=a, b=b, silu=True,
+                                interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(want2), atol=1e-4
+    )
+
+    # grouping must not change results
+    got3 = fused_affine_conv3x3(x, kernel, bias, a=a, b=b, silu=True,
+                                group=2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got3), np.asarray(want2), atol=1e-4
+    )
 
 
 def test_spatial_conv3x3_matches_flax_conv():

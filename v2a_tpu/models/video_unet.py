@@ -63,6 +63,32 @@ PERF_SPLIT_SKIP = True
 # (ops/resblock_kernels.py::spatial_conv3x3) so the whole fused ResBlock
 # interior stays in ONE layout (no {3,0,2,1} relayout fusions).
 PERF_PALLAS_SPATIAL = False
+# Express the fused temporal conv as an XLA 2D convolution with a (k, 1)
+# kernel over the (B, F, H*W, C) view. Every op in the ResBlock is then an
+# XLA conv sharing the {3,0,2,1} operand layout — no Pallas boundary, no
+# relayout fusions — while the bias/emb/residual adds and the GroupNorm
+# statistics stay fused as conv epilogues. Applied when the folded spatial
+# size H*W >= PERF_TCONV_XLA2D_MIN_S (0 disables; 1 = everywhere).
+PERF_TCONV_XLA2D_MIN_S = 0
+# Deep-level Pallas conv: run 3x3 stride-1 spatial convs with features >=
+# this threshold (and H*W <= 512, i.e. the 16^2/8^2 levels) through
+# `ops/resblock_kernels.py::fused_affine_conv3x3` — an in-VMEM im2col
+# matmul with the preceding GroupNorm affine + SiLU applied on the fly.
+# Rationale: XLA's conv emitter runs those levels at 61/29 TFLOP/s vs the
+# 117 chip peak (PERF.md cost model), and every XLA conv adjacent to a
+# Pallas temporal kernel pays boundary relayout fusions. 0 = off.
+PERF_PALLAS_SPATIAL2_MIN_CH = 0
+
+
+def _spatial2_eligible(features: int, cins, hw: int, k: int, strides) -> bool:
+    """Shape gate for the deep-level Pallas conv (see flag above)."""
+    if not PERF_PALLAS_SPATIAL2_MIN_CH or k != 3 or strides != (1, 1):
+        return False
+    if features % 128 or features < PERF_PALLAS_SPATIAL2_MIN_CH:
+        return False
+    if hw > 512:
+        return False
+    return all(c % 128 == 0 for c in cins)
 
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
@@ -95,8 +121,11 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, stats: Optional[jax.Array] = None
-    ) -> jax.Array:
+        self,
+        x: jax.Array,
+        stats: Optional[jax.Array] = None,
+        return_affine: bool = False,
+    ):
         c = x.shape[-1]
         if c % self.num_groups:
             raise ValueError(
@@ -106,6 +135,26 @@ class GroupNorm32(nn.Module):
             return nn.silu(x) if self.with_silu else x
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if return_affine:
+            # hand back the collapsed per-(B, C) scale/shift instead of
+            # applying it — the deep-level Pallas conv kernel applies the
+            # affine (+SiLU) on the fly (`ops/resblock_kernels.py::
+            # fused_affine_conv3x3`), so the normed tensor never hits HBM
+            from v2a_tpu.ops.resblock_kernels import stats_to_group_affine
+
+            if stats is None:
+                xf = x.astype(jnp.float32).reshape(x.shape[0], -1, c)
+                st = jnp.stack(
+                    [xf.sum(axis=1), (xf * xf).sum(axis=1)], axis=1
+                )
+            else:
+                st = stats
+            n_per_channel = 1
+            for d in x.shape[1:-1]:
+                n_per_channel *= d
+            return stats_to_group_affine(
+                st, scale, bias, n_per_channel, self.num_groups
+            )
         if stats is not None:
             # (B, 2, C) per-channel sum/sumsq forwarded from the Pallas
             # temporal-conv kernel that produced x — the full-tensor
@@ -199,6 +248,46 @@ def _im2col_conv(y: jax.Array, kernel: jax.Array, bias: jax.Array,
     return (out + bias.astype(dtype)).reshape(n, h, w, d)
 
 
+def _tconv_conv2d(y, kernel, bias, emb, residual, want_stats, dtype):
+    """Temporal 3-tap conv (`.../guided_diffusion/nn.py:30-88`) as an XLA 2D
+    convolution with a (k, 1) kernel over the (B, F, H*W, C) view.
+
+    Rationale (PERF.md round 2): the Pallas in-layout kernel matches the
+    transpose+conv1d form per-op, but every Pallas call in a conv network
+    pays {3,2,1,0} <-> {3,0,2,1} relayout fusions at its boundaries (~29 ms
+    per U-Net forward). Expressed as a conv, the temporal mix shares the
+    spatial convs' operand layout end-to-end, while the bias / timestep-
+    embedding / residual adds and the downstream GroupNorm's sum/sumsq
+    statistics remain reduction/elementwise epilogues that XLA fuses into
+    the conv output. Parameter layout is `_TemporalConvParams`' (k, C, C).
+    """
+    b, f = y.shape[0], y.shape[1]
+    c = y.shape[-1]
+    orig_shape = y.shape
+    s = 1
+    for d in y.shape[2:-1]:
+        s *= d
+    k = kernel.shape[0]
+    t = y.reshape(b, f, s, c)
+    out = jax.lax.conv_general_dilated(
+        t.astype(dtype), kernel.reshape(k, 1, c, c).astype(dtype),
+        (1, 1), [(k // 2, k // 2), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = out + bias.astype(dtype)
+    if emb is not None:
+        out = out + emb.reshape(b, 1, 1, c).astype(dtype)
+    if residual is not None:
+        res = jnp.broadcast_to(residual, orig_shape).astype(dtype)
+        out = out + res.reshape(b, f, s, c)
+    y5 = out.reshape(orig_shape)
+    if want_stats:
+        of = out.astype(jnp.float32)
+        stats = jnp.stack([of.sum(axis=2), (of * of).sum(axis=2)], axis=2)
+        return y5, stats
+    return y5
+
+
 class _NormParams(nn.Module):
     """Parameter container matching GroupNorm32's {scale, bias} layout, for
     the split-skip affine application."""
@@ -259,6 +348,7 @@ class PseudoConv3d(nn.Module):
         emb: Optional[jax.Array] = None,
         residual: Optional[jax.Array] = None,
         want_stats: bool = False,
+        pre_affine=None,
     ):
         k = self.kernel_size
         if isinstance(x, (tuple, list)):
@@ -271,6 +361,14 @@ class PseudoConv3d(nn.Module):
             kernel, kbias = _Conv2DParams(
                 self.features, k, self.zero_init, name="spatial_conv"
             )(cin)
+            use_spatial2 = self.fused and _spatial2_eligible(
+                self.features, [p.shape[-1] for p in parts], h * w, k,
+                self.spatial_strides,
+            )
+            if pre_affine is not None and not use_spatial2:
+                raise ValueError(
+                    "pre_affine requires the spatial2-eligible fused path"
+                )
             use_pallas_spatial = (
                 PERF_PALLAS_SPATIAL and k == 3
                 and self.spatial_strides == (1, 1)
@@ -279,9 +377,30 @@ class PseudoConv3d(nn.Module):
             )
             y = None
             off = 0
-            for p in parts:
+            for pi, p in enumerate(parts):
                 pc = p.shape[-1]
-                if use_pallas_spatial:
+                if use_spatial2:
+                    from v2a_tpu.ops.resblock_kernels import (
+                        fused_affine_conv3x3,
+                    )
+
+                    af = bf_ = None
+                    if pre_affine is not None:
+                        a0, b0 = pre_affine[pi]  # (B, pc) f32
+                        af = jnp.broadcast_to(
+                            a0[:, None, :], (b, f, pc)
+                        ).reshape(b * f, pc)
+                        bf_ = jnp.broadcast_to(
+                            b0[:, None, :], (b, f, pc)
+                        ).reshape(b * f, pc)
+                    yp = fused_affine_conv3x3(
+                        p.reshape(b * f, h, w, pc).astype(self.dtype),
+                        kernel[:, :, off:off + pc],
+                        kbias if y is None else jnp.zeros_like(kbias),
+                        a=af, b=bf_, silu=pre_affine is not None,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                elif use_pallas_spatial:
                     from v2a_tpu.ops.resblock_kernels import spatial_conv3x3
 
                     yp = spatial_conv3x3(
@@ -300,7 +419,7 @@ class PseudoConv3d(nn.Module):
                     )
                 y = yp if y is None else y + yp
                 off += pc
-            if not use_pallas_spatial:
+            if not (use_pallas_spatial or use_spatial2):
                 y = y + kbias.astype(self.dtype)
         else:
             b, f, h, w, c = x.shape
@@ -309,7 +428,34 @@ class PseudoConv3d(nn.Module):
                 else nn.initializers.lecun_normal()
             )
             y = x.reshape(b * f, h, w, c)
-            if (
+            use_spatial2 = self.fused and _spatial2_eligible(
+                self.features, [c], h * w, k, self.spatial_strides
+            )
+            if pre_affine is not None and not use_spatial2:
+                raise ValueError(
+                    "pre_affine requires the spatial2-eligible fused path"
+                )
+            if use_spatial2:
+                from v2a_tpu.ops.resblock_kernels import fused_affine_conv3x3
+
+                kernel, bias2 = _Conv2DParams(
+                    self.features, k, self.zero_init, name="spatial_conv"
+                )(c)
+                af = bf_ = None
+                if pre_affine is not None:
+                    a0, b0 = pre_affine  # (B, C) f32
+                    af = jnp.broadcast_to(
+                        a0[:, None, :], (b, f, c)
+                    ).reshape(b * f, c)
+                    bf_ = jnp.broadcast_to(
+                        b0[:, None, :], (b, f, c)
+                    ).reshape(b * f, c)
+                y = fused_affine_conv3x3(
+                    y.astype(self.dtype), kernel, bias2,
+                    a=af, b=bf_, silu=pre_affine is not None,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            elif (
                 PERF_PALLAS_SPATIAL
                 and self.fused
                 and k == 3
@@ -373,6 +519,13 @@ class PseudoConv3d(nn.Module):
             kernel, bias = _TemporalConvParams(
                 self.features, k, name="temporal_conv"
             )()
+            if (
+                PERF_TCONV_XLA2D_MIN_S
+                and nh * nw >= PERF_TCONV_XLA2D_MIN_S
+            ):
+                return _tconv_conv2d(
+                    y, kernel, bias, emb, residual, want_stats, self.dtype
+                )
             tconv = temporal_conv_fused_hw if PERF_TCONV_HW else temporal_conv_fused
             return tconv(
                 y.astype(self.dtype), kernel, bias, emb=emb,
@@ -483,9 +636,27 @@ class ResBlock3D(nn.Module):
             return self._fused_split(x, emb, stats, deterministic)
         c = x.shape[-1]
         st_in = jnp.sum(stats, axis=1) if stats is not None else None
-        h = GroupNorm32(
-            with_silu=True, use_pallas=False, name="in_norm"
-        )(x, stats=st_in).astype(self.dtype)
+        # deep levels: hand the collapsed GroupNorm affine to the Pallas conv
+        # kernel instead of materializing the normed tensor (see
+        # PERF_PALLAS_SPATIAL2_MIN_CH)
+        sp2 = (
+            _spatial2_eligible(
+                self.out_channels, [c, self.out_channels],
+                x.shape[2] * x.shape[3], 3, (1, 1),
+            )
+            and not self.use_scale_shift_norm
+            and self.dropout == 0
+        )
+        if sp2:
+            pre1 = GroupNorm32(
+                with_silu=True, use_pallas=False, name="in_norm"
+            )(x, stats=st_in, return_affine=True)
+            h = x
+        else:
+            pre1 = None
+            h = GroupNorm32(
+                with_silu=True, use_pallas=False, name="in_norm"
+            )(x, stats=st_in).astype(self.dtype)
 
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
@@ -495,7 +666,7 @@ class ResBlock3D(nn.Module):
         conv_emb = None if self.use_scale_shift_norm else emb_out
         h, h_stats = PseudoConv3d(
             self.out_channels, 3, dtype=self.dtype, fused=True, name="in_conv"
-        )(h, emb=conv_emb, want_stats=True)
+        )(h, emb=conv_emb, want_stats=True, pre_affine=pre1)
 
         st2 = jnp.sum(h_stats, axis=1)  # (B, 2, C) over frames
         if self.use_scale_shift_norm:
@@ -503,10 +674,16 @@ class ResBlock3D(nn.Module):
             h = GroupNorm32(name="out_norm")(h, stats=st2)
             h = h * (1 + scale) + shift
             h = nn.silu(h).astype(self.dtype)
+            pre2 = None
+        elif sp2:
+            pre2 = GroupNorm32(with_silu=True, name="out_norm")(
+                h, stats=st2, return_affine=True
+            )
         else:
             h = GroupNorm32(with_silu=True, name="out_norm")(
                 h, stats=st2
             ).astype(self.dtype)
+            pre2 = None
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
 
@@ -517,7 +694,7 @@ class ResBlock3D(nn.Module):
         out, out_stats = PseudoConv3d(
             self.out_channels, 3, dtype=self.dtype, fused=True,
             name="out_conv",
-        )(h, residual=x, want_stats=True)
+        )(h, residual=x, want_stats=True, pre_affine=pre2)
         return out, out_stats
 
     def _fused_split(self, parts, emb, part_stats, deterministic):
@@ -550,18 +727,39 @@ class ResBlock3D(nn.Module):
         for d in parts[0].shape[1:-1]:
             n_pc *= d
         a, bshift = stats_to_group_affine(st_in, scale, bias, n_pc, 32)
-        normed = []
+        sp2 = (
+            _spatial2_eligible(
+                self.out_channels,
+                [p.shape[-1] for p in parts] + [self.out_channels],
+                parts[0].shape[2] * parts[0].shape[3], 3, (1, 1),
+            )
+            and not self.use_scale_shift_norm
+            and self.dropout == 0
+        )
         off = 0
         bdim = parts[0].shape[0]
         bc = (bdim,) + (1,) * (parts[0].ndim - 2)
-        for p in parts:
-            pc = p.shape[-1]
-            ai = a[:, off:off + pc].reshape(bc + (pc,))
-            bi = bshift[:, off:off + pc].reshape(bc + (pc,))
-            normed.append(
-                nn.silu(p.astype(jnp.float32) * ai + bi).astype(self.dtype)
-            )
-            off += pc
+        if sp2:
+            # per-part affine handed to the Pallas conv kernel; the normed
+            # parts never hit HBM
+            pre1 = []
+            for p in parts:
+                pc = p.shape[-1]
+                pre1.append((a[:, off:off + pc], bshift[:, off:off + pc]))
+                off += pc
+            conv_in = parts
+        else:
+            normed = []
+            for p in parts:
+                pc = p.shape[-1]
+                ai = a[:, off:off + pc].reshape(bc + (pc,))
+                bi = bshift[:, off:off + pc].reshape(bc + (pc,))
+                normed.append(
+                    nn.silu(p.astype(jnp.float32) * ai + bi).astype(self.dtype)
+                )
+                off += pc
+            pre1 = None
+            conv_in = tuple(normed)
 
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
@@ -570,7 +768,7 @@ class ResBlock3D(nn.Module):
         conv_emb = None if self.use_scale_shift_norm else emb_out
         h, h_stats = PseudoConv3d(
             self.out_channels, 3, dtype=self.dtype, fused=True, name="in_conv"
-        )(tuple(normed), emb=conv_emb, want_stats=True)
+        )(conv_in, emb=conv_emb, want_stats=True, pre_affine=pre1)
 
         st2 = jnp.sum(h_stats, axis=1)
         if self.use_scale_shift_norm:
@@ -578,10 +776,16 @@ class ResBlock3D(nn.Module):
             h = GroupNorm32(name="out_norm")(h, stats=st2)
             h = h * (1 + sc) + sh
             h = nn.silu(h).astype(self.dtype)
+            pre2 = None
+        elif sp2:
+            pre2 = GroupNorm32(with_silu=True, name="out_norm")(
+                h, stats=st2, return_affine=True
+            )
         else:
             h = GroupNorm32(with_silu=True, name="out_norm")(
                 h, stats=st2
             ).astype(self.dtype)
+            pre2 = None
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
 
@@ -591,7 +795,7 @@ class ResBlock3D(nn.Module):
         out, out_stats = PseudoConv3d(
             self.out_channels, 3, dtype=self.dtype, fused=True,
             name="out_conv",
-        )(h, residual=x_skip, want_stats=True)
+        )(h, residual=x_skip, want_stats=True, pre_affine=pre2)
         return out, out_stats
 
 

@@ -427,6 +427,152 @@ def stats_to_group_affine(
     return a, bshift
 
 
+# -- fused affine+SiLU 3x3 conv (deep levels) --------------------------------
+
+
+def _affine_conv_kernel(
+    *refs, g, h_out, w_out, hp, wp, cin, cout, has_affine, silu,
+):
+    """One (g frames, Hp, Wp, Cin) block: optional per-frame channel affine
+    (the GroupNorm collapse) + SiLU, then the 3x3 SAME conv as ONE
+    (g*H*W, 9*Cin) x (9*Cin, Cout) matmul built from an in-VMEM im2col —
+    M = g*H*W keeps the MXU full even at the 8x8/16x16 levels where XLA's
+    conv emitter runs at 29/61 TFLOP/s (PERF.md cost model)."""
+    idx = 0
+    x_ref = refs[idx]; idx += 1
+    a_ref = b_ref = None
+    if has_affine:
+        a_ref = refs[idx]; idx += 1  # (N, Cin) float32, full
+        b_ref = refs[idx]; idx += 1
+    w_ref = refs[idx]; idx += 1      # (9*Cin, Cout)
+    bias_ref = refs[idx]; idx += 1   # (1, Cout)
+    o_ref = refs[idx]; idx += 1      # (g, H, W, Cout)
+    im_ref = refs[idx]               # scratch (g*H*W, 9*Cin)
+
+    i = pl.program_id(0)
+    x = x_ref[:]  # (g, Hp, Wp, Cin)
+    if has_affine:
+        n_rows = a_ref.shape[0]
+        # rows i*g..i*g+g-1 of the (N, Cin) affine, selected by one-hot
+        # matmul (dynamic sublane indices must be 8-aligned on Mosaic)
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, n_rows), 1)
+        want = i * g + jax.lax.broadcasted_iota(jnp.int32, (g, n_rows), 0)
+        sel = (row == want).astype(jnp.float32)
+        a = jax.lax.dot_general(
+            sel, a_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (g, Cin)
+        bsh = jax.lax.dot_general(
+            sel, b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        xf = x.astype(jnp.float32) * a[:, None, None, :] + bsh[:, None, None, :]
+        if silu:
+            xf = xf * jax.nn.sigmoid(xf)
+        # the affine turns the zero padding into silu(b) != 0 — re-zero it
+        rr = jax.lax.broadcasted_iota(jnp.int32, (1, hp, wp, 1), 1)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (1, hp, wp, 1), 2)
+        interior = (
+            (rr >= 1) & (rr <= h_out) & (cc >= 1) & (cc <= w_out)
+        ).astype(jnp.float32)
+        x = (xf * interior).astype(x_ref.dtype)
+
+    hw = h_out * w_out
+    for f in range(g):
+        hf = x[f]  # (Hp, Wp, Cin)
+        for dj in range(3):
+            sh = hf[:, dj:dj + w_out, :]  # (Hp, W, Cin)
+            for di in range(3):
+                t = di * 3 + dj
+                im_ref[f * hw:(f + 1) * hw, t * cin:(t + 1) * cin] = (
+                    sh[di:di + h_out].reshape(hw, cin)
+                )
+    y = jax.lax.dot_general(
+        im_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + bias_ref[0].astype(jnp.float32)[None, :]
+    o_ref[:] = y.reshape(g, h_out, w_out, cout).astype(o_ref.dtype)
+
+
+def spatial2_group(n: int, h: int, w: int, c: int,
+                   budget_bytes: int = 5 * 1024 * 1024) -> int:
+    """Frames per block: the largest divisor of n with M = g*h*w <= 1024 and
+    the (g*h*w, 9c) im2col scratch within budget."""
+    group = 1
+    for cand in (2, 4, 7, 8, 14):
+        if n % cand:
+            continue
+        if cand * h * w > 1024:
+            break
+        if cand * h * w * 9 * c * 2 > budget_bytes:
+            break
+        group = cand
+    return group
+
+
+@functools.partial(
+    jax.jit, static_argnames=("silu", "interpret", "group")
+)
+def fused_affine_conv3x3(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    a: Optional[jax.Array] = None,
+    b: Optional[jax.Array] = None,
+    silu: bool = False,
+    group: Optional[int] = None,
+    interpret: bool = False,
+):
+    """y = conv3x3_same(silu(a*x + b)), the deep-level ResBlock front half.
+
+    Args:
+      x: (N, H, W, C) raw (pre-norm) activations, N = B*F.
+      kernel: (3, 3, C, D) flax conv kernel; bias: (D,).
+      a, b: optional per-(N, C) float32 affine (the GroupNorm collapsed via
+        `stats_to_group_affine`, broadcast per frame by the caller); `silu`
+        applies SiLU after the affine (the GN->SiLU->conv ResBlock order,
+        `.../guided_diffusion/unet.py:148-261`).
+    Returns (N, H, W, D) in x.dtype.
+    """
+    n, h, w, c = x.shape
+    d = kernel.shape[-1]
+    if kernel.shape[:3] != (3, 3, c):
+        raise ValueError(f"kernel {kernel.shape} vs input C={c}")
+    wp = ((w + 2 + 7) // 8) * 8
+    hp = h + 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    g = group or spatial2_group(n, h, w, c)
+    if n % g:
+        raise ValueError(f"group {g} must divide N={n}")
+
+    has_affine = a is not None
+    in_specs = [pl.BlockSpec((g, hp, wp, c), lambda i: (i, 0, 0, 0))]
+    args = [xp]
+    if has_affine:
+        in_specs.append(pl.BlockSpec((n, c), lambda i: (0, 0)))
+        in_specs.append(pl.BlockSpec((n, c), lambda i: (0, 0)))
+        args += [a.astype(jnp.float32), b.astype(jnp.float32)]
+    in_specs.append(pl.BlockSpec((9 * c, d), lambda i: (0, 0)))
+    in_specs.append(pl.BlockSpec((1, d), lambda i: (0, 0)))
+    # (3,3,C,D) -> (9C, D) with the tap order used by the kernel (di*3+dj)
+    w2d = kernel.astype(x.dtype).reshape(9 * c, d)
+    args += [w2d, bias.reshape(1, d)]
+
+    return pl.pallas_call(
+        functools.partial(
+            _affine_conv_kernel, g=g, h_out=h, w_out=w, hp=hp, wp=wp,
+            cin=c, cout=d, has_affine=has_affine, silu=silu,
+        ),
+        grid=(n // g,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, h, w, d), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((g * h * w, 9 * c), x.dtype)],
+        interpret=interpret,
+    )(*args)
+
+
 # -- spatial 3x3 conv ---------------------------------------------------------
 
 
