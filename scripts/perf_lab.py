@@ -156,6 +156,55 @@ def conv_bench():
             )
 
 
+def affconv_bench():
+    """Standalone deep-level conv: XLA conv emitter vs the fused
+    affine+SiLU im2col Pallas kernel (`fused_affine_conv3x3`)."""
+    from v2a_tpu.ops.resblock_kernels import fused_affine_conv3x3, spatial2_group
+
+    shapes = [
+        ("L2", 56, 32, 32, 384),
+        ("L3", 56, 16, 16, 512),
+        ("L4", 56, 8, 8, 640),
+    ]
+    for name, n, h, w, c in shapes:
+        x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c), jnp.bfloat16)
+        wgt = jax.random.normal(
+            jax.random.PRNGKey(1), (3, 3, c, c), jnp.bfloat16
+        ) * 0.02
+        bias = jnp.zeros((c,), jnp.float32)
+        a = jnp.ones((n, c), jnp.float32)
+        bsh = jnp.zeros((n, c), jnp.float32)
+        flops = 2 * 9 * c * c * h * w * n
+        g = spatial2_group(n, h, w, c)
+
+        def xla_conv(x, wgt):
+            return jax.lax.conv_general_dilated(
+                x, wgt, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        def pallas_plain(x, wgt):
+            return fused_affine_conv3x3(x, wgt, bias)
+
+        def pallas_affine(x, wgt):
+            return fused_affine_conv3x3(x, wgt, bias, a=a, b=bsh, silu=True)
+
+        for label, fn in (
+            ("xla", xla_conv),
+            (f"pallas(g={g})", pallas_plain),
+            ("pallas+aff", pallas_affine),
+        ):
+            try:
+                dt = _time_chained(fn, x, wgt)
+                print(
+                    f"affconv {name:<4} {label:<12} {dt * 1e3:7.3f} ms  "
+                    f"{flops / dt / 1e12:6.1f} TFLOP/s", flush=True,
+                )
+            except Exception as e:
+                print(f"affconv {name} {label} FAILED: {str(e)[:140]}",
+                      flush=True)
+
+
 def tconv_bench():
     """Temporal conv formulations at every U-Net level shape: the transpose+
     conv1d production path vs the Pallas in-layout kernel (with and without
@@ -436,6 +485,9 @@ def main():
         if name == "convbench":
             conv_bench()
             continue
+        if name == "affconvbench":
+            affconv_bench()
+            continue
         if name == "tconvbench":
             tconv_bench()
             continue
@@ -444,6 +496,11 @@ def main():
             continue
         if name in ("trace", "trace_base"):
             trace_forward(fused=name == "trace")
+            continue
+        if name == "trace_sp2":
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 512
+            trace_forward(fused=True)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
             continue
         if name == "fused":
             results[name] = time_forward(build(fused=True), name)
@@ -456,6 +513,21 @@ def main():
             )
             results[name] = time_forward(build(fused=True), name)
             video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            continue
+        if name.startswith("fused_sp2dot_"):
+            # spatial2 deep conv + 1x1 skip convs as dots
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = int(
+                name[len("fused_sp2dot_"):]
+            )
+            video_unet.PERF_SKIP1X1_DOT = True
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_SKIP1X1_DOT = False
+            continue
+        if name == "fused_dot1x1":
+            video_unet.PERF_SKIP1X1_DOT = True
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_SKIP1X1_DOT = False
             continue
         if name.startswith("fused_xla2d"):
             # temporal conv as an XLA (3,1)-kernel 2D conv when H*W >= N

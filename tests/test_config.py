@@ -155,3 +155,18 @@ def test_build_experiment_with_mesh_config(tmp_path):
     )
     assert trainer.mesh is not None
     assert dict(trainer.mesh.shape) == {"dp": 2, "tp": 4}
+
+
+def test_sample_video_cli_smoke(tmp_path):
+    """scripts/sample_video.py --smoke: the standalone sampling CLI (the
+    guided-diffusion image_sample surface at the video level) end-to-end."""
+    import numpy as np
+
+    from scripts.sample_video import main
+
+    main(["--smoke", "1", "--n", "2", "--steps", "2",
+          "--out", str(tmp_path), "--task", "pick up the bowl"])
+    vids = np.load(tmp_path / "videos.npy")
+    assert vids.shape[0] == 2 and vids.dtype == np.uint8
+    assert vids.shape[-1] == 3
+    assert (tmp_path / "video_0.png").exists()

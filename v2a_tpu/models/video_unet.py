@@ -78,6 +78,10 @@ PERF_TCONV_XLA2D_MIN_S = 0
 # 117 chip peak (PERF.md cost model), and every XLA conv adjacent to a
 # Pallas temporal kernel pays boundary relayout fusions. 0 = off.
 PERF_PALLAS_SPATIAL2_MIN_CH = 0
+# Express 1x1 convs (ResBlock skip projections) as plain dots: a matmul on
+# (N*H*W, C) keeps the default row-major layout instead of inheriting the
+# conv emitter's {3,0,2,1} operand layout.
+PERF_SKIP1X1_DOT = False
 
 
 def _spatial2_eligible(features: int, cins, hw: int, k: int, strides) -> bool:
@@ -409,6 +413,18 @@ class PseudoConv3d(nn.Module):
                         kbias if y is None else jnp.zeros_like(kbias),
                         interpret=jax.default_backend() == "cpu",
                     )
+                elif (
+                    PERF_SKIP1X1_DOT and k == 1
+                    and self.spatial_strides == (1, 1)
+                ):
+                    yp = jax.lax.dot_general(
+                        p.reshape(b * f, h, w, pc).astype(self.dtype),
+                        kernel[:, :, off:off + pc].reshape(
+                            pc, self.features
+                        ).astype(self.dtype),
+                        (((3,), (0,)), ((), ())),
+                        preferred_element_type=self.dtype,
+                    )
                 else:
                     yp = jax.lax.conv_general_dilated(
                         p.reshape(b * f, h, w, pc).astype(self.dtype),
@@ -481,6 +497,19 @@ class PseudoConv3d(nn.Module):
                     self.features, k, self.zero_init, name="spatial_conv"
                 )(c)
                 y = _im2col_conv(y, kernel, bias2, self.dtype)
+            elif (
+                PERF_SKIP1X1_DOT and k == 1
+                and self.spatial_strides == (1, 1)
+            ):
+                kernel, bias2 = _Conv2DParams(
+                    self.features, k, self.zero_init, name="spatial_conv"
+                )(c)
+                y = jax.lax.dot_general(
+                    y.astype(self.dtype),
+                    kernel.reshape(c, self.features).astype(self.dtype),
+                    (((3,), (0,)), ((), ())),
+                    preferred_element_type=self.dtype,
+                ) + bias2.astype(self.dtype)
             else:
                 y = nn.Conv(
                     self.features, (k, k), strides=self.spatial_strides,
