@@ -92,23 +92,32 @@ def _tunnel_baseline(iters=20):
 
 
 def _time_chained(fn, x, wgt, chain=20, iters=5):
-    """Time `y = fn(y, wgt)` repeated `chain` times INSIDE one jit, minus
-    the per-call tunnel round trip (~31 ms — larger than many ops!)."""
-    base = _tunnel_baseline()
+    """Time `y = fn(y, wgt)` inside one jit via a TWO chain-length slope:
+    dt = (t_long - t_short) / (len_long - len_short). The per-call tunnel
+    round trip (~30 ms, and it DRIFTS by several ms between measurements —
+    enough to fake >peak TFLOP/s on sub-ms ops) cancels exactly."""
+    lens = (chain // 4, chain)
 
-    @jax.jit
-    def run(x, wgt):
-        def body(y, _):
-            return fn(y, wgt), None
-        y, _ = jax.lax.scan(body, x, None, length=chain)
-        return jnp.sum(y.astype(jnp.float32))
+    def make(length):
+        @jax.jit
+        def run(x, wgt):
+            def body(y, _):
+                return fn(y, wgt), None
+            y, _ = jax.lax.scan(body, x, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
 
-    np.asarray(run(x, wgt))
-    t0 = time.perf_counter()
+    runs = [make(n) for n in lens]
+    for r in runs:
+        np.asarray(r(x, wgt))  # compile+warm
+    times = [0.0, 0.0]
+    # interleave the two lengths so slow tunnel-latency drift hits both
     for _ in range(iters):
-        np.asarray(run(x, wgt))
-    per_call = (time.perf_counter() - t0) / iters
-    return max(per_call - base, 1e-9) / chain
+        for k, r in enumerate(runs):
+            t0 = time.perf_counter()
+            np.asarray(r(x, wgt))
+            times[k] += time.perf_counter() - t0
+    return max(times[1] - times[0], 1e-9) / iters / (lens[1] - lens[0])
 
 
 def conv_bench():
@@ -203,6 +212,109 @@ def affconv_bench():
             except Exception as e:
                 print(f"affconv {name} {label} FAILED: {str(e)[:140]}",
                       flush=True)
+
+
+def _winograd_conv(x, wgt):
+    """Winograd F(2x2, 3x3) 3x3 SAME conv, all-XLA: 16 strided input slices
+    -> separable B^T d B combos -> 16 batched (M, C) x (C, D) gemms -> A^T M A
+    -> interleave. 2.25x fewer gemm FLOPs than direct conv; transform passes
+    are elementwise. Exact in exact arithmetic."""
+    n, h, w, c = x.shape
+    d = wgt.shape[-1]
+    nh, nw = h // 2, w // 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # 16 strided patch-element slices, each (N, nh, nw, C)
+    dd = [
+        [
+            jax.lax.slice(
+                xp, (0, a, b, 0), (n, a + 2 * nh - 1, b + 2 * nw - 1, c),
+                (1, 2, 2, 1),
+            )
+            for b in range(4)
+        ]
+        for a in range(4)
+    ]
+    f32 = jnp.float32
+    dd = [[e.astype(f32) for e in row] for row in dd]
+    # B^T rows: [1,0,-1,0], [0,1,1,0], [0,-1,1,0], [0,1,0,-1]
+    def bt(v):  # combine a length-4 list along one axis
+        return [
+            v[0] - v[2],
+            v[1] + v[2],
+            v[2] - v[1],
+            v[1] - v[3],
+        ]
+
+    t = [bt([dd[a][b] for a in range(4)]) for b in range(4)]  # t[b][a]
+    v16 = []
+    for a in range(4):
+        row = bt([t[b][a] for b in range(4)])  # over b
+        v16.append(row)  # v16[a][b]
+    v = jnp.stack([v16[a][b] for a in range(4) for b in range(4)])
+    v = v.reshape(16, n * nh * nw, c).astype(x.dtype)
+
+    # weight transform G w G^T, G = [[1,0,0],[.5,.5,.5],[.5,-.5,.5],[0,0,1]]
+    g = jnp.array(
+        [[1, 0, 0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0, 0, 1]], f32
+    )
+    u = jnp.einsum(
+        "ai,bj,ijcd->abcd", g, g, wgt.astype(f32)
+    ).reshape(16, c, d).astype(x.dtype)
+
+    m = jnp.einsum(
+        "tmc,tcd->tmd", v, u, preferred_element_type=f32
+    ).reshape(4, 4, n, nh, nw, d)
+
+    # A^T rows: [1,1,1,0], [0,1,-1,-1]
+    def at(v4):
+        return [v4[0] + v4[1] + v4[2], v4[1] - v4[2] - v4[3]]
+
+    ta = [at([m[a, b] for a in range(4)]) for b in range(4)]  # ta[b][i]
+    y = []
+    for i in range(2):
+        row = at([ta[b][i] for b in range(4)])  # over b -> j
+        y.append(row)  # y[i][j]
+    yy = jnp.stack([jnp.stack(y[i], 0) for i in range(2)], 0)
+    # (2, 2, N, nh, nw, D) -> (N, nh, 2, nw, 2, D) -> (N, H, W, D)
+    out = yy.transpose(2, 3, 0, 4, 1, 5).reshape(n, h, w, d)
+    return out.astype(x.dtype)
+
+
+def winograd_bench():
+    """Winograd F(2x2,3x3) vs the XLA conv emitter at every level."""
+    shapes = [
+        ("L0", 56, 128, 128, 128),
+        ("L1", 56, 64, 64, 256),
+        ("L2", 56, 32, 32, 384),
+        ("L3", 56, 16, 16, 512),
+        ("L4", 56, 8, 8, 640),
+    ]
+    for name, n, h, w, c in shapes:
+        x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c), jnp.bfloat16)
+        wgt = jax.random.normal(
+            jax.random.PRNGKey(1), (3, 3, c, c), jnp.bfloat16
+        ) * 0.02
+        flops = 2 * 9 * c * c * h * w * n
+
+        def xla_conv(x, wgt):
+            return jax.lax.conv_general_dilated(
+                x, wgt, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        # numerics check once per shape (vs direct conv, bf16 tolerance)
+        ref = np.asarray(xla_conv(x, wgt), np.float32)
+        got = np.asarray(_winograd_conv(x, wgt), np.float32)
+        scale = np.abs(ref).max() + 1e-6
+        relerr = np.abs(ref - got).max() / scale
+        for label, fn in (("xla", xla_conv), ("winograd", _winograd_conv)):
+            dt = _time_chained(fn, x, wgt)
+            print(
+                f"wino {name:<4} {label:<9} {dt * 1e3:7.3f} ms  "
+                f"{flops / dt / 1e12:6.1f} TFLOP/s(direct-equiv)"
+                + (f"  relerr={relerr:.2e}" if label == "winograd" else ""),
+                flush=True,
+            )
 
 
 def tconv_bench():
@@ -481,12 +593,22 @@ def main():
     known_ablate = ["base", "no_attn", "no_temporal", "no_gn", "conv_only"]
     want = sys.argv[1:] or known_ablate
     results = {}
+    # zero the default-on perf flags so each variant measures exactly what
+    # its name says; "fused_default" measures the shipped defaults
+    defaults = (
+        video_unet.PERF_PALLAS_SPATIAL2_MIN_CH, video_unet.PERF_SKIP1X1_DOT
+    )
+    video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+    video_unet.PERF_SKIP1X1_DOT = False
     for name in want:
         if name == "convbench":
             conv_bench()
             continue
         if name == "affconvbench":
             affconv_bench()
+            continue
+        if name == "winobench":
+            winograd_bench()
             continue
         if name == "tconvbench":
             tconv_bench()
@@ -504,6 +626,14 @@ def main():
             continue
         if name == "fused":
             results[name] = time_forward(build(fused=True), name)
+            continue
+        if name == "fused_default":
+            # the shipped TPU defaults (spatial2 + dot1x1 per env)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = defaults[0]
+            video_unet.PERF_SKIP1X1_DOT = defaults[1]
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_SKIP1X1_DOT = False
             continue
         if name.startswith("fused_spatial2_"):
             # deep-level fused affine+SiLU+3x3 Pallas conv for levels with

@@ -284,11 +284,12 @@ def test_video_unet_fused_xla2d_tconv_matches_default():
     base = VideoUNet(**kw)
     params = base.init(jax.random.PRNGKey(0), x, t, tok)
     out0 = base.apply(params, x, t, tok)
+    saved = video_unet.PERF_TCONV_XLA2D_MIN_S
     video_unet.PERF_TCONV_XLA2D_MIN_S = 1
     try:
         out1 = VideoUNet(fused=True, **kw).apply(params, x, t, tok)
     finally:
-        video_unet.PERF_TCONV_XLA2D_MIN_S = 0
+        video_unet.PERF_TCONV_XLA2D_MIN_S = saved
     np.testing.assert_allclose(
         np.asarray(out1), np.asarray(out0), atol=5e-4, rtol=1e-3
     )
@@ -314,6 +315,7 @@ def test_video_unet_spatial2_path_matches_default():
     base = VideoUNet(**kw)
     params = base.init(jax.random.PRNGKey(0), x, t, tok)
     out0 = base.apply(params, x, t, tok)
+    saved = video_unet.PERF_PALLAS_SPATIAL2_MIN_CH
     video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 128
     try:
         fused = VideoUNet(fused=True, **kw)
@@ -326,7 +328,7 @@ def test_video_unet_spatial2_path_matches_default():
         ), "spatial2 path must keep the parameter tree identical"
         out1 = fused.apply(params, x, t, tok)
     finally:
-        video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+        video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = saved
     np.testing.assert_allclose(
         np.asarray(out1), np.asarray(out0), atol=5e-4, rtol=1e-3
     )

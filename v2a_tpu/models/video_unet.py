@@ -24,6 +24,7 @@ Layout and precision:
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -77,11 +78,14 @@ PERF_TCONV_XLA2D_MIN_S = 0
 # Rationale: XLA's conv emitter runs those levels at 61/29 TFLOP/s vs the
 # 117 chip peak (PERF.md cost model), and every XLA conv adjacent to a
 # Pallas temporal kernel pays boundary relayout fusions. 0 = off.
-PERF_PALLAS_SPATIAL2_MIN_CH = 0
+# Default 512 (L3+L4) measured -3.3 ms/fwd on-chip (PERF.md round 2);
+# engages only in the fused (inference) path.
+PERF_PALLAS_SPATIAL2_MIN_CH = int(os.environ.get("V2A_SPATIAL2_MIN_CH", "512"))
 # Express 1x1 convs (ResBlock skip projections) as plain dots: a matmul on
 # (N*H*W, C) keeps the default row-major layout instead of inheriting the
-# conv emitter's {3,0,2,1} operand layout.
-PERF_SKIP1X1_DOT = False
+# conv emitter's {3,0,2,1} operand layout. Exact-equal math; measured
+# -3.9 ms/fwd on-chip (PERF.md round 2).
+PERF_SKIP1X1_DOT = os.environ.get("V2A_SKIP1X1_DOT", "1") == "1"
 
 
 def _spatial2_eligible(features: int, cins, hw: int, k: int, strides) -> bool:
