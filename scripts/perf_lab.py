@@ -171,6 +171,8 @@ def affconv_bench():
     from v2a_tpu.ops.resblock_kernels import fused_affine_conv3x3, spatial2_group
 
     shapes = [
+        ("L0", 56, 128, 128, 128),
+        ("L1", 56, 64, 64, 256),
         ("L2", 56, 32, 32, 384),
         ("L3", 56, 16, 16, 512),
         ("L4", 56, 8, 8, 640),
@@ -504,9 +506,6 @@ def trace_forward(fused=True, topk=30):
     """Capture an xplane trace of one U-Net forward and print the ops with
     the largest total device time (the round-1 GN-layout fix came from this
     view, PERF.md)."""
-    import glob
-    import tempfile
-
     unet = build(fused=fused)
     hw = HW if jax.devices()[0].platform != "cpu" else 32
     x = jax.random.normal(jax.random.PRNGKey(0), (BATCH, FRAMES, hw, hw, 6))
@@ -519,12 +518,59 @@ def trace_forward(fused=True, topk=30):
     )
     fwd = jax.jit(lambda p, x, t, e: unet.apply(p, x, t, e))
     checksum = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
-    np.asarray(checksum(fwd(params, x, t, e)))  # compile
+
+    def run_once():
+        np.asarray(checksum(fwd(params, x, t, e)))
+
+    _trace_rollup(run_once, topk=topk)
+
+
+def trace_train(topk=30):
+    """xplane trace of the fused policy train step (bench_train's program)."""
+    from v2a_tpu.models.policy import DiffusionPolicy, PolicyConfig
+    from v2a_tpu.train.train_state import (
+        EMAConfig, OptimizerConfig, TrainState, make_optimizer,
+        make_train_step,
+    )
+
+    cfg = PolicyConfig(dtype="bfloat16")
+    batch = 64
+    policy = DiffusionPolicy.create(cfg)
+    params = policy.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(OptimizerConfig())
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(policy.loss, tx, EMAConfig()))
+    h, w = cfg.image_size
+    rs = np.random.RandomState(0)
+    batch_data = {
+        "obs": {
+            k: jnp.asarray(rs.rand(batch, h, w, 3), jnp.float32)
+            for k in cfg.obs_keys
+        },
+        "action": jnp.asarray(
+            rs.uniform(-1, 1, (batch, cfg.horizon, cfg.action_dim)),
+            jnp.float32,
+        ),
+    }
+    rng = jax.random.PRNGKey(1)
+
+    def run_once():
+        _s, loss, _g = step(state, rng, batch_data)
+        np.asarray(loss)
+
+    _trace_rollup(run_once, topk=topk)
+
+
+def _trace_rollup(run_once, topk=30):
+    import glob
+    import tempfile
+
+    run_once()  # compile
 
     logdir = tempfile.mkdtemp(prefix="v2a_trace_")
     with jax.profiler.trace(logdir):
         for _ in range(3):
-            np.asarray(checksum(fwd(params, x, t, e)))
+            run_once()
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
@@ -624,6 +670,9 @@ def main():
             trace_forward(fused=True)
             video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
             continue
+        if name == "trace_train":
+            trace_train()
+            continue
         if name == "fused":
             results[name] = time_forward(build(fused=True), name)
             continue
@@ -652,6 +701,17 @@ def main():
             video_unet.PERF_SKIP1X1_DOT = True
             results[name] = time_forward(build(fused=True), name)
             video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_SKIP1X1_DOT = False
+            continue
+        if name.startswith("fused_sp2all"):
+            # banded Pallas conv everywhere (+ whole-frame at deep levels)
+            suffix = name[len("fused_sp2all"):]
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = int(suffix) if suffix else 128
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 16384
+            video_unet.PERF_SKIP1X1_DOT = True
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
             video_unet.PERF_SKIP1X1_DOT = False
             continue
         if name == "fused_dot1x1":

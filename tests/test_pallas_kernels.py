@@ -334,6 +334,43 @@ def test_video_unet_spatial2_path_matches_default():
     )
 
 
+def test_video_unet_spatial2_banded_matches_default():
+    """MAX_S raised: 32x32 resblocks route through the banded kernel inside
+    the full model (fused + stats-forwarding + split-skip interplay)."""
+    from v2a_tpu.models import video_unet
+    from v2a_tpu.models.video_unet import VideoUNet
+
+    kw = dict(
+        in_channels=6, model_channels=128, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1, 2), num_head_channels=32,
+        task_token_dim=64,
+    )
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(1, 2, 32, 32, 6), jnp.float32)
+    t = jnp.asarray([3], jnp.int32)
+    tok = jnp.asarray(rs.randn(1, 4, 64), jnp.float32)
+
+    base = VideoUNet(**kw)
+    params = base.init(jax.random.PRNGKey(0), x, t, tok)
+    out0 = base.apply(params, x, t, tok)
+    saved = (
+        video_unet.PERF_PALLAS_SPATIAL2_MIN_CH,
+        video_unet.PERF_PALLAS_SPATIAL2_MAX_S,
+    )
+    video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 128
+    video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 16384
+    try:
+        out1 = VideoUNet(fused=True, **kw).apply(params, x, t, tok)
+    finally:
+        (
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH,
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S,
+        ) = saved
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), atol=5e-4, rtol=1e-3
+    )
+
+
 def test_temporal_conv_fused_hw_matches_reference():
     from v2a_tpu.ops.resblock_kernels import (
         temporal_conv_fused_hw, temporal_conv_reference,
@@ -393,6 +430,36 @@ def test_fused_affine_conv3x3_matches_reference():
     np.testing.assert_allclose(
         np.asarray(got3), np.asarray(want2), atol=1e-4
     )
+
+
+def test_fused_affine_conv3x3_banded_matches_reference():
+    """The large-level (H*W > 512) dispatch: halo'd Element-indexed row
+    bands, 9 per-tap dots — vs flax Conv + manual affine."""
+    from flax import linen as nn
+    from v2a_tpu.ops.resblock_kernels import fused_affine_conv3x3
+
+    rs = np.random.RandomState(1)
+    n, h, w, c, d = 2, 32, 32, 128, 128  # h*w = 1024 -> banded path
+    x = jnp.asarray(rs.randn(n, h, w, c), jnp.float32)
+    kernel = jnp.asarray(rs.randn(3, 3, c, d) * 0.05, jnp.float32)
+    bias = jnp.asarray(rs.randn(d) * 0.1, jnp.float32)
+    a = jnp.asarray(rs.rand(n, c) + 0.5, jnp.float32)
+    b = jnp.asarray(rs.randn(n, c) * 0.1, jnp.float32)
+
+    conv = nn.Conv(d, (3, 3), padding=1)
+    params = {"params": {"kernel": kernel, "bias": bias}}
+
+    xa = x * a[:, None, None, :] + b[:, None, None, :]
+    xa = xa * jax.nn.sigmoid(xa)
+    want = conv.apply(params, xa)
+    got = fused_affine_conv3x3(x, kernel, bias, a=a, b=b, silu=True,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    # plain (no affine) + explicit band size
+    want2 = conv.apply(params, x)
+    got2 = fused_affine_conv3x3(x, kernel, bias, tile_h=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-4)
 
 
 def test_spatial_conv3x3_matches_flax_conv():

@@ -81,6 +81,10 @@ PERF_TCONV_XLA2D_MIN_S = 0
 # Default 512 (L3+L4) measured -3.3 ms/fwd on-chip (PERF.md round 2);
 # engages only in the fused (inference) path.
 PERF_PALLAS_SPATIAL2_MIN_CH = int(os.environ.get("V2A_SPATIAL2_MIN_CH", "512"))
+# Max folded spatial size routed through the kernel. 512 = whole-frame
+# im2col path only (L3/L4); 16384 also sends the banded (halo'd row-band)
+# variant the L0-L2 convs.
+PERF_PALLAS_SPATIAL2_MAX_S = int(os.environ.get("V2A_SPATIAL2_MAX_S", "512"))
 # Express 1x1 convs (ResBlock skip projections) as plain dots: a matmul on
 # (N*H*W, C) keeps the default row-major layout instead of inheriting the
 # conv emitter's {3,0,2,1} operand layout. Exact-equal math; measured
@@ -94,7 +98,7 @@ def _spatial2_eligible(features: int, cins, hw: int, k: int, strides) -> bool:
         return False
     if features % 128 or features < PERF_PALLAS_SPATIAL2_MIN_CH:
         return False
-    if hw > 512:
+    if hw > PERF_PALLAS_SPATIAL2_MAX_S:
         return False
     return all(c % 128 == 0 for c in cins)
 

@@ -495,6 +495,89 @@ def _affine_conv_kernel(
     o_ref[:] = y.reshape(g, h_out, w_out, cout).astype(o_ref.dtype)
 
 
+def _affine_conv_banded_kernel(
+    *refs, th, h_out, w_out, cin, cout, has_affine, silu,
+):
+    """One (1, th+2, Wp, Cin) halo'd row band (Element-indexed overlapping
+    blocks over the row-padded input): optional per-(N, C) affine + SiLU,
+    then 9 per-tap (th*W, Cin) x (Cin, Cout) dots accumulated in fp32.
+    Serves the large levels (L0/L1: 128^2/64^2) where a whole frame exceeds
+    VMEM; per-tap dots keep VPU traffic at 3 column-shift materializations
+    per band (row slices are free outer-dim views)."""
+    idx = 0
+    x_ref = refs[idx]; idx += 1
+    a_ref = b_ref = None
+    if has_affine:
+        a_ref = refs[idx]; idx += 1  # (N, Cin) float32, full
+        b_ref = refs[idx]; idx += 1
+    w_ref = refs[idx]; idx += 1      # (9*Cin, Cout)
+    bias_ref = refs[idx]; idx += 1   # (1, Cout)
+    o_ref = refs[idx]                # (1, th, W, Cout)
+
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    x = x_ref[0]  # (th+2, Wp, Cin)
+    hp_rows = x.shape[0]
+    wp = x.shape[1]
+    xf = x.astype(jnp.float32)
+    if has_affine:
+        n_rows = a_ref.shape[0]
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1) == n
+        ).astype(jnp.float32)
+        a = jax.lax.dot_general(
+            sel, a_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, Cin)
+        bsh = jax.lax.dot_general(
+            sel, b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        xf = xf * a[0][None, None, :] + bsh[0][None, None, :]
+        if silu:
+            xf = xf * jax.nn.sigmoid(xf)
+        # zero the padding back out: global padded row in [1, H], col in [1, W]
+        rr = (
+            jax.lax.broadcasted_iota(jnp.int32, (hp_rows, wp, 1), 0)
+            + i * th
+        )
+        cc = jax.lax.broadcasted_iota(jnp.int32, (hp_rows, wp, 1), 1)
+        keep = (
+            (rr >= 1) & (rr <= h_out) & (cc >= 1) & (cc <= w_out)
+        )
+        xf = jnp.where(keep, xf, 0.0)
+    xb = xf.astype(x_ref.dtype)
+
+    acc = None
+    for dj in range(3):
+        sh = xb[:, dj:dj + w_out, :]  # (th+2, W, Cin) — one shift copy
+        for di in range(3):
+            t = di * 3 + dj
+            xs = sh[di:di + th].reshape(th * w_out, cin)
+            part = jax.lax.dot_general(
+                xs, w_ref[t * cin:(t + 1) * cin],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+    y = acc + bias_ref[0].astype(jnp.float32)[None, :]
+    o_ref[0] = y.reshape(th, w_out, cout).astype(o_ref.dtype)
+
+
+def spatial2_band_rows(h: int, w: int, c: int, d: int,
+                       budget_bytes: int = 6 * 1024 * 1024) -> int:
+    """Rows per band: power-of-two divisor of h with the band + 3 shifts +
+    fp32 accumulator within budget."""
+    th = h
+    def cost(t):
+        return (t + 2) * (w + 10) * c * 2 * 4 + t * w * d * 4
+    while th > 8 and cost(th) > budget_bytes:
+        th //= 2
+    while h % th:
+        th //= 2
+    return max(th, 1)
+
+
 def spatial2_group(n: int, h: int, w: int, c: int,
                    budget_bytes: int = 5 * 1024 * 1024) -> int:
     """Frames per block: the largest divisor of n with M = g*h*w <= 1024 and
@@ -512,7 +595,7 @@ def spatial2_group(n: int, h: int, w: int, c: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("silu", "interpret", "group")
+    jax.jit, static_argnames=("silu", "interpret", "group", "tile_h")
 )
 def fused_affine_conv3x3(
     x: jax.Array,
@@ -522,9 +605,10 @@ def fused_affine_conv3x3(
     b: Optional[jax.Array] = None,
     silu: bool = False,
     group: Optional[int] = None,
+    tile_h: Optional[int] = None,
     interpret: bool = False,
 ):
-    """y = conv3x3_same(silu(a*x + b)), the deep-level ResBlock front half.
+    """y = conv3x3_same(silu(a*x + b)), the ResBlock front half in one pass.
 
     Args:
       x: (N, H, W, C) raw (pre-norm) activations, N = B*F.
@@ -534,6 +618,10 @@ def fused_affine_conv3x3(
         applies SiLU after the affine (the GN->SiLU->conv ResBlock order,
         `.../guided_diffusion/unet.py:148-261`).
     Returns (N, H, W, D) in x.dtype.
+
+    Dispatch: whole frames (grouped, one im2col matmul) when H*W <= 512;
+    halo'd row bands (Element-indexed overlapping blocks, 9 per-tap dots)
+    for the larger levels.
     """
     n, h, w, c = x.shape
     d = kernel.shape[-1]
@@ -542,33 +630,72 @@ def fused_affine_conv3x3(
     wp = ((w + 2 + 7) // 8) * 8
     hp = h + 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
-    g = group or spatial2_group(n, h, w, c)
-    if n % g:
-        raise ValueError(f"group {g} must divide N={n}")
-
     has_affine = a is not None
-    in_specs = [pl.BlockSpec((g, hp, wp, c), lambda i: (i, 0, 0, 0))]
+    # (3,3,C,D) -> (9C, D) with the tap order used by the kernels (di*3+dj)
+    w2d = kernel.astype(x.dtype).reshape(9 * c, d)
+
+    if h * w <= 512:
+        g = group or spatial2_group(n, h, w, c)
+        if n % g:
+            raise ValueError(f"group {g} must divide N={n}")
+        in_specs = [pl.BlockSpec((g, hp, wp, c), lambda i: (i, 0, 0, 0))]
+        args = [xp]
+        if has_affine:
+            in_specs.append(pl.BlockSpec((n, c), lambda i: (0, 0)))
+            in_specs.append(pl.BlockSpec((n, c), lambda i: (0, 0)))
+            args += [a.astype(jnp.float32), b.astype(jnp.float32)]
+        in_specs.append(pl.BlockSpec((9 * c, d), lambda i: (0, 0)))
+        in_specs.append(pl.BlockSpec((1, d), lambda i: (0, 0)))
+        args += [w2d, bias.reshape(1, d)]
+
+        return pl.pallas_call(
+            functools.partial(
+                _affine_conv_kernel, g=g, h_out=h, w_out=w, hp=hp, wp=wp,
+                cin=c, cout=d, has_affine=has_affine, silu=silu,
+            ),
+            grid=(n // g,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((g, h, w, d), lambda i: (i, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n, h, w, d), x.dtype),
+            scratch_shapes=[pltpu.VMEM((g * h * w, 9 * c), x.dtype)],
+            interpret=interpret,
+        )(*args)
+
+    # banded path (large levels). Element block dims give overlapping
+    # (halo'd) row blocks over the row-padded input with the standard
+    # pipelining machinery — no manual DMA. (jax 0.9 exposes Element only
+    # in jax._src.pallas.core; low padding is unsupported on Mosaic, hence
+    # the HBM row pad.)
+    from jax._src.pallas import core as _pc
+
+    th = tile_h or spatial2_band_rows(h, w, c, d)
+    if h % th:
+        raise ValueError(f"tile_h {th} must divide H={h}")
+    E = _pc.Element
+    in_specs = [
+        pl.BlockSpec(
+            (E(1), E(th + 2), E(wp), E(c)),
+            lambda nn, i: (nn, i * th, 0, 0),
+        )
+    ]
     args = [xp]
     if has_affine:
-        in_specs.append(pl.BlockSpec((n, c), lambda i: (0, 0)))
-        in_specs.append(pl.BlockSpec((n, c), lambda i: (0, 0)))
+        in_specs.append(pl.BlockSpec((n, c), lambda nn, i: (0, 0)))
+        in_specs.append(pl.BlockSpec((n, c), lambda nn, i: (0, 0)))
         args += [a.astype(jnp.float32), b.astype(jnp.float32)]
-    in_specs.append(pl.BlockSpec((9 * c, d), lambda i: (0, 0)))
-    in_specs.append(pl.BlockSpec((1, d), lambda i: (0, 0)))
-    # (3,3,C,D) -> (9C, D) with the tap order used by the kernel (di*3+dj)
-    w2d = kernel.astype(x.dtype).reshape(9 * c, d)
+    in_specs.append(pl.BlockSpec((9 * c, d), lambda nn, i: (0, 0)))
+    in_specs.append(pl.BlockSpec((1, d), lambda nn, i: (0, 0)))
     args += [w2d, bias.reshape(1, d)]
 
     return pl.pallas_call(
         functools.partial(
-            _affine_conv_kernel, g=g, h_out=h, w_out=w, hp=hp, wp=wp,
+            _affine_conv_banded_kernel, th=th, h_out=h, w_out=w,
             cin=c, cout=d, has_affine=has_affine, silu=silu,
         ),
-        grid=(n // g,),
+        grid=(n, h // th),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((g, h, w, d), lambda i: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, th, w, d), lambda nn, i: (nn, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, w, d), x.dtype),
-        scratch_shapes=[pltpu.VMEM((g * h * w, 9 * c), x.dtype)],
         interpret=interpret,
     )(*args)
 
