@@ -67,10 +67,18 @@ def main():
     state, loss, gnorm = step(state, rng, batch_data)
     np.asarray(loss)  # compile + readback
 
+    # One readback per timed BLOCK of steps, not per step: the axon tunnel
+    # costs ~30 ms per readback, which swamped the ~12 ms device step and
+    # under-reported throughput 4x (PERF.md round 2b trace: jit_train_step
+    # = 12.1 ms device). The real trainer reads loss back every log_freq
+    # steps, so amortized readback is the honest number. The step chain
+    # stays sequential (each step consumes the previous state).
+    if on_tpu:
+        n_iters = 60
     t0 = time.perf_counter()
     for i in range(n_iters):
         state, loss, gnorm = step(state, jax.random.fold_in(rng, i), batch_data)
-        np.asarray(loss)
+    np.asarray(loss)
     dt = (time.perf_counter() - t0) / n_iters
 
     print(json.dumps({

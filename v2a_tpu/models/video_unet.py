@@ -80,11 +80,12 @@ PERF_TCONV_XLA2D_MIN_S = 0
 # Pallas temporal kernel pays boundary relayout fusions. 0 = off.
 # Default 512 (L3+L4) measured -3.3 ms/fwd on-chip (PERF.md round 2);
 # engages only in the fused (inference) path.
-PERF_PALLAS_SPATIAL2_MIN_CH = int(os.environ.get("V2A_SPATIAL2_MIN_CH", "512"))
+PERF_PALLAS_SPATIAL2_MIN_CH = int(os.environ.get("V2A_SPATIAL2_MIN_CH", "128"))
 # Max folded spatial size routed through the kernel. 512 = whole-frame
 # im2col path only (L3/L4); 16384 also sends the banded (halo'd row-band)
-# variant the L0-L2 convs.
-PERF_PALLAS_SPATIAL2_MAX_S = int(os.environ.get("V2A_SPATIAL2_MAX_S", "512"))
+# variant the L0-L2 convs. Defaults measured on-chip (PERF.md round 2b):
+# all-level 184.8 ms/fwd vs 185.3 (deep-only) vs 192.2 (none).
+PERF_PALLAS_SPATIAL2_MAX_S = int(os.environ.get("V2A_SPATIAL2_MAX_S", "16384"))
 # Express 1x1 convs (ResBlock skip projections) as plain dots: a matmul on
 # (N*H*W, C) keeps the default row-major layout instead of inheriting the
 # conv emitter's {3,0,2,1} operand layout. Exact-equal math; measured
