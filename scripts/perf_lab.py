@@ -642,10 +642,12 @@ def main():
     # zero the default-on perf flags so each variant measures exactly what
     # its name says; "fused_default" measures the shipped defaults
     defaults = (
-        video_unet.PERF_PALLAS_SPATIAL2_MIN_CH, video_unet.PERF_SKIP1X1_DOT
+        video_unet.PERF_PALLAS_SPATIAL2_MIN_CH, video_unet.PERF_SKIP1X1_DOT,
+        video_unet.PERF_PALLAS_SPATIAL2_MAX_S,
     )
     video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
     video_unet.PERF_SKIP1X1_DOT = False
+    video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
     for name in want:
         if name == "convbench":
             conv_bench()
@@ -673,6 +675,16 @@ def main():
         if name == "trace_train":
             trace_train()
             continue
+        if name == "trace_default":
+            # the shipped defaults (all-level banded + dot1x1)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = defaults[0]
+            video_unet.PERF_SKIP1X1_DOT = defaults[1]
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = defaults[2]
+            trace_forward(fused=True)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_SKIP1X1_DOT = False
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
+            continue
         if name == "fused":
             results[name] = time_forward(build(fused=True), name)
             continue
@@ -680,9 +692,11 @@ def main():
             # the shipped TPU defaults (spatial2 + dot1x1 per env)
             video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = defaults[0]
             video_unet.PERF_SKIP1X1_DOT = defaults[1]
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = defaults[2]
             results[name] = time_forward(build(fused=True), name)
             video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
             video_unet.PERF_SKIP1X1_DOT = False
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
             continue
         if name.startswith("fused_spatial2_"):
             # deep-level fused affine+SiLU+3x3 Pallas conv for levels with

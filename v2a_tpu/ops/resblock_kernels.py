@@ -42,7 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pick_tile(s: int, c: int, budget_bytes: int = 1024 * 1024) -> int:
     """Largest power-of-two tile of S whose (F, tile, C) bf16 block stays
-    within budget (S is a power of two at every U-Net level)."""
+    within budget (S is a power of two at every U-Net level). The budget
+    covers the block itself; the shifted copies, fp32 accumulator, residual
+    and double-buffered IO multiply it ~14x — 2 MB budgets OOM the 16 MB
+    scoped vmem in production (measured)."""
     max_rows = max(budget_bytes // (c * 2 * 7), 8)
     tile = 1
     while tile * 2 <= s and tile * 2 <= max_rows:
@@ -79,7 +82,7 @@ def _tconv_kernel(
     x = x_ref[0]  # (F, tile, C)
     w = w_ref[:]  # (3C, C)
     c = x.shape[-1]
-    zeros = jnp.zeros(x.shape[1:], x.dtype)  # (tile, C)
+    tile = x.shape[1]
     bias = b_ref[0].astype(jnp.float32)  # (C,) as (1, C) row
     if has_emb:
         # emb rides in as the full (B, C) array (a (1, C) block would break
@@ -91,32 +94,43 @@ def _tconv_kernel(
         ).astype(jnp.float32)
         bias = bias + jnp.sum(e * sel, axis=0)
 
-    for f in range(frames):
-        xm1 = x[f - 1] if f > 0 else zeros
-        xp1 = x[f + 1] if f < frames - 1 else zeros
-        cat = jnp.concatenate([xm1, x[f], xp1], axis=-1)  # (tile, 3C)
-        y = jax.lax.dot_general(
-            cat, w, (((1,), (0,)), ((), ())),
+    # whole-block per-tap dots: three (F*tile, C) x (C, C) gemms over the
+    # frame-shifted views — M spans all frames (vs the old per-frame
+    # concats), and no (F*tile, 3C) cat buffer (which OOMs the 16 MB
+    # scoped vmem at L1 once the residual/stats ride along). Measured
+    # fastest production-viable form at L0/L1 (PERF.md round 2b).
+    zrow = jnp.zeros((1, tile, c), x.dtype)
+    xm1 = jnp.concatenate([zrow, x[:-1]], axis=0).reshape(frames * tile, c)
+    xp1 = jnp.concatenate([x[1:], zrow], axis=0).reshape(frames * tile, c)
+    x2 = x.reshape(frames * tile, c)
+    w0, w1, w2 = w[:c], w[c:2 * c], w[2 * c:]
+
+    def tap(xs, wt):
+        return jax.lax.dot_general(
+            xs, wt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        y = y + bias[None, :]
-        if has_res:
-            y = y + res_ref[0, f].astype(jnp.float32)
-        y16 = y.astype(o_ref.dtype)
-        o_ref[0, f] = y16
-        if want_stats:
-            yf = y16.astype(jnp.float32)
-            row = jnp.stack(
-                [jnp.sum(yf, axis=0), jnp.sum(yf * yf, axis=0)], axis=0
-            )  # (2, C)
 
-            @pl.when(j == 0)
-            def _():
-                stats_ref[0, f] = row
+    y = tap(x2, w1) + tap(xm1, w0) + tap(xp1, w2)
+    y = y + bias[None, :]
+    y = y.reshape(frames, tile, c)
+    if has_res:
+        y = y + res_ref[0].astype(jnp.float32)
+    y16 = y.astype(o_ref.dtype)
+    o_ref[0] = y16
+    if want_stats:
+        yf = y16.astype(jnp.float32)
+        row = jnp.stack(
+            [jnp.sum(yf, axis=1), jnp.sum(yf * yf, axis=1)], axis=1
+        )  # (F, 2, C)
 
-            @pl.when(j > 0)
-            def _():
-                stats_ref[0, f] = stats_ref[0, f] + row
+        @pl.when(j == 0)
+        def _():
+            stats_ref[0] = row
+
+        @pl.when(j > 0)
+        def _():
+            stats_ref[0] = stats_ref[0] + row
 
 
 @functools.partial(
