@@ -576,6 +576,8 @@ def _trace_rollup(run_once, topk=30):
 
     files = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
     totals = {}
+    line_totals = {}
+    line_ops = {}
     for fname in files:
         xs = xplane_pb2.XSpace()
         with open(fname, "rb") as f:
@@ -588,12 +590,28 @@ def _trace_rollup(run_once, topk=30):
                 for ev in line.events:
                     name = ev_names.get(ev.metadata_id, "?")
                     totals[name] = totals.get(name, 0) + ev.duration_ps
+                    line_totals[line.name] = (
+                        line_totals.get(line.name, 0) + ev.duration_ps
+                    )
+                    ops = line_ops.setdefault(line.name, {})
+                    ops[name] = ops.get(name, 0) + ev.duration_ps
     ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:topk]
     total_ms = sum(totals.values()) / 1e9 / 3
     print(f"trace: {len(totals)} distinct ops, {total_ms:.1f} ms "
           f"summed/fwd (overlaps double-count)")
     for name, ps in ranked:
         print(f"  {ps / 1e9 / 3:8.2f} ms  {name[:110]}")
+    # per-line view: the compute line's sum approximates wall time; DMA
+    # lines overlap it. Top ops of each busy line, copies separated.
+    print("-- per-line totals (ms/fwd) --")
+    for lname, ps in sorted(line_totals.items(), key=lambda kv: -kv[1]):
+        print(f"  {ps / 1e9 / 3:8.1f}  {lname}")
+    for lname, ps in sorted(line_totals.items(), key=lambda kv: -kv[1])[:4]:
+        print(f"-- top ops on line '{lname}' --")
+        for name, p in sorted(
+            line_ops[lname].items(), key=lambda kv: -kv[1]
+        )[:15]:
+            print(f"  {p / 1e9 / 3:8.2f} ms  {name[:100]}")
 
     # category rollup: convs / pallas kernels / pure-relayout fusions /
     # other fusions / async copies
@@ -697,6 +715,37 @@ def main():
             video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
             video_unet.PERF_SKIP1X1_DOT = False
             video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
+            continue
+        if name == "fused_padded":
+            # shipped defaults + the padded-stream layout (L0-L2 pads
+            # eliminated; see PERF_PADDED_STREAM)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = defaults[0]
+            video_unet.PERF_SKIP1X1_DOT = defaults[1]
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = defaults[2]
+            video_unet.PERF_PADDED_STREAM = True
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_PADDED_STREAM = False
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_SKIP1X1_DOT = False
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
+            continue
+        if name.startswith("fused_tbudget_"):
+            # shipped defaults with the tconv S-tile VMEM budget overridden
+            # (suffix in KB); clears jit caches so the new tile retraces
+            from v2a_tpu.ops import resblock_kernels as rbk
+
+            old_budget = rbk.TCONV_TILE_BUDGET
+            rbk.TCONV_TILE_BUDGET = int(name[len("fused_tbudget_"):]) * 1024
+            jax.clear_caches()
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = defaults[0]
+            video_unet.PERF_SKIP1X1_DOT = defaults[1]
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = defaults[2]
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_SKIP1X1_DOT = False
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
+            rbk.TCONV_TILE_BUDGET = old_budget
+            jax.clear_caches()
             continue
         if name.startswith("fused_spatial2_"):
             # deep-level fused affine+SiLU+3x3 Pallas conv for levels with

@@ -371,6 +371,103 @@ def test_video_unet_spatial2_banded_matches_default():
     )
 
 
+def test_fused_affine_conv3x3_padded_matches_reference():
+    """The padded-stream conv: garbage pad values must be masked, the
+    output border zeroed, multi-part (split concat) summed, and every
+    band position (first/middle/last row shift) exact."""
+    from flax import linen as nn
+    from v2a_tpu.ops.resblock_kernels import (
+        fused_affine_conv3x3_padded, padded_hw,
+    )
+
+    rs = np.random.RandomState(3)
+    n, h, w, d = 2, 8, 8, 16
+    cins = [8, 16]
+    hp, wp = padded_hw(h, w)
+    parts, ref = [], None
+    for ci in cins:
+        x = rs.randn(n, h, w, ci).astype(np.float32)
+        k = (rs.randn(3, 3, ci, d) * 0.1).astype(np.float32)
+        a = (1 + 0.1 * rs.randn(n, ci)).astype(np.float32)
+        b = (0.1 * rs.randn(n, ci)).astype(np.float32)
+        xp = np.full((n, hp, wp, ci), 9.9, np.float32)  # garbage pads
+        xp[:, 1:h + 1, 1:w + 1, :] = x
+        parts.append((jnp.asarray(xp), jnp.asarray(k), jnp.asarray(a),
+                      jnp.asarray(b)))
+        xa = x * a[:, None, None, :] + b[:, None, None, :]
+        xa = xa * jax.nn.sigmoid(jnp.asarray(xa))
+        y = nn.Conv(d, (3, 3), padding=1).apply(
+            {"params": {"kernel": jnp.asarray(k), "bias": jnp.zeros(d)}},
+            jnp.asarray(xa),
+        )
+        ref = y if ref is None else ref + y
+    bias = jnp.asarray(rs.randn(d).astype(np.float32) * 0.1)
+    ref = ref + bias
+
+    for tile_h in (2, 5):  # Hp=10: exercises both band layouts
+        got = fused_affine_conv3x3_padded(
+            parts, bias, (h, w), silu=True, tile_h=tile_h, interpret=True
+        )
+        assert got.shape == (n, hp, wp, d)
+        np.testing.assert_allclose(
+            np.asarray(got)[:, 1:h + 1, 1:w + 1, :], np.asarray(ref),
+            atol=1e-4,
+        )
+        border = np.asarray(got).copy()
+        border[:, 1:h + 1, 1:w + 1, :] = 0
+        assert np.abs(border).max() == 0.0
+
+
+def test_video_unet_padded_stream_matches_default():
+    """PERF_PADDED_STREAM keeps the banded levels in (B,F,Hp,Wp,C) padded
+    layout end-to-end (pad-corrected tconv stats, padded split-skip blocks,
+    padded Upsample conv, 1x1 skip pv tracking) — must match the plain
+    path on the full model."""
+    from v2a_tpu.models import video_unet
+    from v2a_tpu.models.video_unet import VideoUNet
+
+    kw = dict(
+        in_channels=6, model_channels=128, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=32,
+        task_token_dim=64,
+    )
+    rs = np.random.RandomState(13)
+    x = jnp.asarray(rs.randn(1, 2, 32, 32, 6), jnp.float32)
+    t = jnp.asarray([3], jnp.int32)
+    tok = jnp.asarray(rs.randn(1, 4, 64), jnp.float32)
+
+    base = VideoUNet(**kw)
+    params = base.init(jax.random.PRNGKey(0), x, t, tok)
+    out0 = base.apply(params, x, t, tok)
+    saved = (
+        video_unet.PERF_PALLAS_SPATIAL2_MIN_CH,
+        video_unet.PERF_PALLAS_SPATIAL2_MAX_S,
+        video_unet.PERF_PADDED_STREAM,
+    )
+    video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 128
+    video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 16384
+    video_unet.PERF_PADDED_STREAM = True
+    try:
+        fused = VideoUNet(fused=True, **kw)
+        params_fused = jax.eval_shape(
+            lambda r: fused.init(r, x, t, tok), jax.random.PRNGKey(0)
+        )
+        assert (
+            jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_fused)
+        ), "padded stream must keep the parameter tree identical"
+        out1 = fused.apply(params, x, t, tok)
+    finally:
+        (
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH,
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S,
+            video_unet.PERF_PADDED_STREAM,
+        ) = saved
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), atol=5e-4, rtol=1e-3
+    )
+
+
 def test_temporal_conv_fused_hw_matches_reference():
     from v2a_tpu.ops.resblock_kernels import (
         temporal_conv_fused_hw, temporal_conv_reference,

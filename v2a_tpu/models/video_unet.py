@@ -91,6 +91,52 @@ PERF_PALLAS_SPATIAL2_MAX_S = int(os.environ.get("V2A_SPATIAL2_MAX_S", "16384"))
 # conv emitter's {3,0,2,1} operand layout. Exact-equal math; measured
 # -3.9 ms/fwd on-chip (PERF.md round 2).
 PERF_SKIP1X1_DOT = os.environ.get("V2A_SKIP1X1_DOT", "1") == "1"
+# Padded-stream layout: at the banded levels (L0-L2) activations stay in
+# (B, F, Hp, Wp, C) padded form for the whole level, so the per-conv
+# `jnp.pad` HBM pass (15.5 ms/fwd in the round-2 trace) disappears — the
+# conv kernel reads the pre-padded stream and writes a padded output with
+# zeroed borders. Only the fused (inference) path. 0 = off.
+PERF_PADDED_STREAM = os.environ.get("V2A_PADDED_STREAM", "0") == "1"
+
+
+class PaddedStream:
+    """A (B, F, Hp, Wp, C) activation tensor in the padded-stream layout
+    (interior at rows 1..H, cols 1..W; `ops/resblock_kernels.py::padded_hw`)
+    plus `pv`, the per-(B, C) float32 value every pad position holds
+    (None = zeros). Pad VALUES matter only to the temporal conv, whose
+    GroupNorm statistics are corrected exactly by subtracting the n_pad
+    pad contributions; the spatial conv masks pads on the fly."""
+
+    __slots__ = ("x", "hw", "pv")
+
+    def __init__(self, x: jax.Array, hw: Tuple[int, int], pv=None):
+        self.x = x
+        self.hw = hw
+        self.pv = pv
+
+
+def pad_stream(h: jax.Array, pv=None) -> PaddedStream:
+    """(B, F, H, W, C) -> PaddedStream with zero pads."""
+    from v2a_tpu.ops.resblock_kernels import padded_hw
+
+    b, f, hh, ww, c = h.shape
+    hp, wp = padded_hw(hh, ww)
+    x = jnp.pad(h, ((0, 0), (0, 0), (1, hp - hh - 1), (1, wp - ww - 1), (0, 0)))
+    return PaddedStream(x, (hh, ww), pv)
+
+
+def unpad_stream(ps: PaddedStream) -> jax.Array:
+    hh, ww = ps.hw
+    return ps.x[:, :, 1:hh + 1, 1:ww + 1, :]
+
+
+def _padded_eligible(features: int, cins, hw: int) -> bool:
+    """Gate for the padded-stream layout: the banded-conv levels."""
+    return (
+        PERF_PADDED_STREAM
+        and _spatial2_eligible(features, cins, hw, 3, (1, 1))
+        and hw > 512
+    )
 
 
 def _spatial2_eligible(features: int, cins, hw: int, k: int, strides) -> bool:
@@ -364,6 +410,10 @@ class PseudoConv3d(nn.Module):
         pre_affine=None,
     ):
         k = self.kernel_size
+        if isinstance(x, PaddedStream) or (
+            isinstance(x, (tuple, list)) and isinstance(x[0], PaddedStream)
+        ):
+            return self._padded_call(x, emb, residual, want_stats, pre_affine)
         if isinstance(x, (tuple, list)):
             # split formulation: conv(concat(parts)) computed as a sum of
             # per-part convs on a channel-sliced kernel — the concat never
@@ -586,6 +636,116 @@ class PseudoConv3d(nn.Module):
             return y, stats
         return y
 
+    def _padded_call(self, x, emb, residual, want_stats, pre_affine):
+        """Padded-stream variant (`PERF_PADDED_STREAM`): inputs/outputs are
+        `PaddedStream`s, the spatial conv runs through
+        `fused_affine_conv3x3_padded` (no per-conv HBM pad pass), and the
+        temporal conv operates on the padded flat S' = Hp*Wp view with its
+        GroupNorm statistics corrected exactly for the n_pad positions
+        (every pad holds bias + emb + residual-pad, a per-(B, C) constant).
+        Parameter tree identical to the plain path."""
+        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        hw = parts[0].hw
+        hh, ww = hw
+        b, f, hp, wp = parts[0].x.shape[:4]
+        feat = self.features
+        k = self.kernel_size
+        interp = jax.default_backend() == "cpu"
+        cin = sum(p.x.shape[-1] for p in parts)
+
+        if k == 1:
+            # 1x1 conv as a dot on the padded stream; pads map through it
+            # exactly: pv_out = sum_i pv_i @ K_i + bias
+            if want_stats or emb is not None or residual is not None:
+                raise ValueError("padded 1x1 conv is the bare skip proj")
+            kernel, kbias = _Conv2DParams(
+                feat, 1, self.zero_init, name="spatial_conv"
+            )(cin)
+            k2 = kernel.reshape(cin, feat)
+            y = None
+            pv = jnp.zeros((b, feat), jnp.float32)
+            off = 0
+            for p in parts:
+                pc = p.x.shape[-1]
+                yp = jax.lax.dot_general(
+                    p.x.astype(self.dtype),
+                    k2[off:off + pc].astype(self.dtype),
+                    (((4,), (0,)), ((), ())),
+                    preferred_element_type=self.dtype,
+                )
+                y = yp if y is None else y + yp
+                if p.pv is not None:
+                    pv = pv + p.pv @ k2[off:off + pc]
+                off += pc
+            y = y + kbias.astype(self.dtype)
+            pv = pv + kbias[None, :]
+            return PaddedStream(y, hw, pv)
+
+        if k != 3 or self.spatial_strides != (1, 1):
+            raise ValueError("padded stream supports 3x3 stride-1 convs")
+        from v2a_tpu.ops.resblock_kernels import (
+            fused_affine_conv3x3_padded,
+            temporal_conv_fused,
+        )
+
+        kernel, kbias = _Conv2DParams(
+            feat, k, self.zero_init, name="spatial_conv"
+        )(cin)
+        pre = pre_affine
+        if pre is not None and not isinstance(pre[0], (tuple, list)):
+            pre = [pre]
+        kparts = []
+        off = 0
+        for pi, p in enumerate(parts):
+            pc = p.x.shape[-1]
+            if pre is None:
+                # no preceding norm (the Upsample conv): identity affine —
+                # the kernel's interior mask still guards the pad values
+                a0 = jnp.ones((b, pc), jnp.float32)
+                b0 = jnp.zeros((b, pc), jnp.float32)
+            else:
+                a0, b0 = pre[pi]
+            af = jnp.broadcast_to(a0[:, None, :], (b, f, pc)).reshape(b * f, pc)
+            bf_ = jnp.broadcast_to(b0[:, None, :], (b, f, pc)).reshape(b * f, pc)
+            kparts.append((
+                p.x.reshape(b * f, hp, wp, pc).astype(self.dtype),
+                kernel[:, :, off:off + pc], af, bf_,
+            ))
+            off += pc
+        y = fused_affine_conv3x3_padded(
+            kparts, kbias, hw, silu=pre is not None, interpret=interp
+        )
+
+        tkernel, tbias = _TemporalConvParams(
+            feat, k, name="temporal_conv"
+        )()
+        res_flat = None
+        res_pv = None
+        if residual is not None:
+            res_flat = residual.x.reshape(b, f, hp * wp, feat)
+            res_pv = residual.pv
+        out = temporal_conv_fused(
+            y.reshape(b, f, hp * wp, feat).astype(self.dtype),
+            tkernel, tbias, emb=emb, residual=res_flat,
+            want_stats=want_stats, interpret=interp,
+        )
+        # the value every pad position now holds (conv output pads are 0)
+        v = jnp.broadcast_to(
+            tbias.astype(jnp.float32)[None, :], (b, feat)
+        )
+        if emb is not None:
+            v = v + emb.reshape(b, feat).astype(jnp.float32)
+        if res_pv is not None:
+            v = v + res_pv
+        if want_stats:
+            yt, stats = out
+            n_pad = hp * wp - hh * ww
+            stats = stats - n_pad * jnp.stack([v, v * v], axis=1)[:, None]
+        else:
+            yt = out
+        ps = PaddedStream(yt.reshape(b, f, hp, wp, feat), hw, v)
+        return (ps, stats) if want_stats else ps
+
 
 def _dirac_init(key, shape, dtype=jnp.float32):
     """Identity init for a (k, in, out) temporal conv kernel: center tap is
@@ -672,6 +832,8 @@ class ResBlock3D(nn.Module):
         tuple of per-part (B, F, 2, C_i) stats (entries may be None)."""
         if isinstance(x, tuple):
             return self._fused_split(x, emb, stats, deterministic)
+        if isinstance(x, PaddedStream):
+            return self._fused_padded(x, emb, stats)
         c = x.shape[-1]
         st_in = jnp.sum(stats, axis=1) if stats is not None else None
         # deep levels: hand the collapsed GroupNorm affine to the Pallas conv
@@ -735,12 +897,115 @@ class ResBlock3D(nn.Module):
         )(h, residual=x, want_stats=True, pre_affine=pre2)
         return out, out_stats
 
+    def _fused_padded(self, x, emb, stats):
+        """Padded-stream single-input variant: same math as `_fused`, but
+        all activations stay in the (B, F, Hp, Wp, C) padded layout —
+        norms collapse to affines from exact (pad-corrected) stats, convs
+        run through the padded Pallas kernel, and the residual add rides
+        the temporal conv (pads tracked via `PaddedStream.pv`)."""
+        from v2a_tpu.ops.resblock_kernels import stats_to_group_affine
+
+        if self.use_scale_shift_norm or self.dropout > 0:
+            raise ValueError("padded stream: plain-norm dropout-free blocks")
+        b, f = x.x.shape[:2]
+        hh, ww = x.hw
+        c = x.x.shape[-1]
+        n_pc = f * hh * ww
+        if stats is not None:
+            st_in = jnp.sum(stats, axis=1)
+        else:
+            xi = unpad_stream(x).astype(jnp.float32)
+            st_in = jnp.stack(
+                [xi.sum(axis=(1, 2, 3)), (xi * xi).sum(axis=(1, 2, 3))],
+                axis=1,
+            )
+        scale1, bias1 = _NormParams(c, name="in_norm")()
+        pre1 = stats_to_group_affine(st_in, scale1, bias1, n_pc, 32)
+
+        emb_out = nn.Dense(
+            self.out_channels, dtype=self.dtype, name="emb_proj",
+        )(nn.silu(emb.astype(self.dtype)))
+        h, h_stats = PseudoConv3d(
+            self.out_channels, 3, dtype=self.dtype, fused=True, name="in_conv"
+        )(x, emb=emb_out, want_stats=True, pre_affine=pre1)
+
+        st2 = jnp.sum(h_stats, axis=1)
+        scale2, bias2 = _NormParams(self.out_channels, name="out_norm")()
+        pre2 = stats_to_group_affine(st2, scale2, bias2, n_pc, 32)
+
+        if c != self.out_channels:
+            x = PseudoConv3d(
+                self.out_channels, 1, dtype=self.dtype, name="skip_conv"
+            )(x)
+        out, out_stats = PseudoConv3d(
+            self.out_channels, 3, dtype=self.dtype, fused=True,
+            name="out_conv",
+        )(h, residual=x, want_stats=True, pre_affine=pre2)
+        return out, out_stats
+
+    def _fused_split_padded(self, parts, emb, part_stats):
+        """Split + padded-stream variant: the up-path (h, skip) pair, both
+        in padded layout, convolved as channel-split sums inside one
+        padded Pallas call."""
+        from v2a_tpu.ops.resblock_kernels import stats_to_group_affine
+
+        if self.use_scale_shift_norm or self.dropout > 0:
+            raise ValueError("padded stream: plain-norm dropout-free blocks")
+        if part_stats is None:
+            part_stats = (None,) * len(parts)
+        b, f = parts[0].x.shape[:2]
+        hh, ww = parts[0].hw
+        n_pc = f * hh * ww
+        c = sum(p.x.shape[-1] for p in parts)
+
+        sts = []
+        for p, st in zip(parts, part_stats):
+            if st is not None:
+                sts.append(jnp.sum(st, axis=1))
+            else:
+                pf = unpad_stream(p).astype(jnp.float32)
+                sts.append(jnp.stack(
+                    [pf.sum(axis=(1, 2, 3)), (pf * pf).sum(axis=(1, 2, 3))],
+                    axis=1,
+                ))
+        st_in = jnp.concatenate(sts, axis=-1)
+        scale1, bias1 = _NormParams(c, name="in_norm")()
+        a, bshift = stats_to_group_affine(st_in, scale1, bias1, n_pc, 32)
+        pre1 = []
+        off = 0
+        for p in parts:
+            pc = p.x.shape[-1]
+            pre1.append((a[:, off:off + pc], bshift[:, off:off + pc]))
+            off += pc
+
+        emb_out = nn.Dense(
+            self.out_channels, dtype=self.dtype, name="emb_proj",
+        )(nn.silu(emb.astype(self.dtype)))
+        h, h_stats = PseudoConv3d(
+            self.out_channels, 3, dtype=self.dtype, fused=True, name="in_conv"
+        )(parts, emb=emb_out, want_stats=True, pre_affine=pre1)
+
+        st2 = jnp.sum(h_stats, axis=1)
+        scale2, bias2 = _NormParams(self.out_channels, name="out_norm")()
+        pre2 = stats_to_group_affine(st2, scale2, bias2, n_pc, 32)
+
+        x_skip = PseudoConv3d(
+            self.out_channels, 1, dtype=self.dtype, name="skip_conv"
+        )(parts)
+        out, out_stats = PseudoConv3d(
+            self.out_channels, 3, dtype=self.dtype, fused=True,
+            name="out_conv",
+        )(h, residual=x_skip, want_stats=True, pre_affine=pre2)
+        return out, out_stats
+
     def _fused_split(self, parts, emb, part_stats, deterministic):
         """The (h, skip) pair variant: GroupNorm collapses to per-channel
         affines applied per part, and in_conv/skip_conv run as channel-split
         convolution sums — the concatenation never hits HBM."""
         from v2a_tpu.ops.resblock_kernels import stats_to_group_affine
 
+        if isinstance(parts[0], PaddedStream):
+            return self._fused_split_padded(parts, emb, part_stats)
         if part_stats is None:
             part_stats = (None,) * len(parts)
         c = sum(p.shape[-1] for p in parts)
@@ -887,6 +1152,10 @@ class Downsample3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, want_stats: bool = False):
+        if isinstance(x, PaddedStream):
+            # the stride-2 conv's SAME halo must be zeros; the stream's pad
+            # values are arbitrary, so drop to the interior view first
+            x = unpad_stream(x)
         return PseudoConv3d(
             self.features, 3, spatial_strides=(2, 2), dtype=self.dtype,
             fused=self.fused, name="conv",
@@ -901,9 +1170,24 @@ class Upsample3D(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, want_stats: bool = False):
+    def __call__(
+        self, x: jax.Array, want_stats: bool = False,
+        padded_out: bool = False,
+    ):
+        if isinstance(x, PaddedStream):
+            x = unpad_stream(x)
         b, f, h, w, c = x.shape
-        x = jax.image.resize(x, (b, f, h * 2, w * 2, c), method="nearest")
+        # nearest 2x as broadcast+reshape: `jax.image.resize` lowers to a
+        # gather that XLA turns into per-row while loops on TPU (~0.9 ms
+        # each at the 128x64 level, seen in the round-2 trace); the
+        # broadcast form fuses into the surrounding elementwise work
+        x = jnp.broadcast_to(
+            x[:, :, :, None, :, None, :], (b, f, h, 2, w, 2, c)
+        ).reshape(b, f, h * 2, w * 2, c)
+        if padded_out:
+            # slice + broadcast + pad fuse into one XLA pass; the conv then
+            # runs in padded-stream form (identity pre-affine)
+            x = pad_stream(x)
         return PseudoConv3d(
             self.features, 3, dtype=self.dtype, fused=self.fused, name="conv"
         )(x, want_stats=want_stats)
@@ -976,6 +1260,11 @@ class VideoUNet(nn.Module):
         )
         if fused:
             h, st = h
+        hh, ww = x.shape[2], x.shape[3]
+        if fused and _padded_eligible(mc, [mc], hh * ww):
+            # enter the padded-stream layout for the banded levels: pads
+            # once here, the per-conv pad passes inside the level vanish
+            h = pad_stream(h)
         hs.append((h, st))
         ds = 1
         block_idx = 0
@@ -1002,6 +1291,12 @@ class VideoUNet(nn.Module):
                 )(h, want_stats=fused)
                 if fused:
                     h, st = h
+                hh, ww = hh // 2, ww // 2
+                next_ch = int(self.channel_mult[level + 1] * mc)
+                if fused and _padded_eligible(
+                    next_ch, [ch, next_ch], hh * ww
+                ):
+                    h = pad_stream(h)
                 hs.append((h, st))
                 ds *= 2
 
@@ -1033,10 +1328,23 @@ class VideoUNet(nn.Module):
                 skip, skip_st = hs.pop()
                 if fused and PERF_SPLIT_SKIP:
                     # the (h, skip) pair travels unconcatenated; the block
-                    # splits its norm affine and convolutions per part
+                    # splits its norm affine and convolutions per part.
+                    # Coerce to a common layout if only one side is padded
+                    # (can only differ at a level-transition edge case)
+                    if isinstance(h, PaddedStream) != isinstance(
+                        skip, PaddedStream
+                    ):
+                        if isinstance(h, PaddedStream):
+                            skip = pad_stream(skip)
+                        else:
+                            h = pad_stream(h)
                     h_in = (h, skip)
                     st_in = (st, skip_st)
                 else:
+                    if isinstance(h, PaddedStream):
+                        h = unpad_stream(h)
+                    if isinstance(skip, PaddedStream):
+                        skip = unpad_stream(skip)
                     h_in = jnp.concatenate([h, skip], axis=-1)
                     if st is not None and skip_st is not None:
                         st_in = jnp.concatenate([st, skip_st], axis=-1)
@@ -1055,15 +1363,23 @@ class VideoUNet(nn.Module):
                     )(h, stats=st)
                     st = None
                 if level and i == self.num_res_blocks:
+                    up_hw = hh * ww * 4
                     h = Upsample3D(
                         ch, self.dtype, fused, name=f"upsample_{level}"
-                    )(h, want_stats=fused)
+                    )(
+                        h, want_stats=fused,
+                        padded_out=fused
+                        and _padded_eligible(ch, [ch], up_hw),
+                    )
                     if fused:
                         h, st = h
+                    hh, ww = hh * 2, ww * 2
                     ds //= 2
                 block_idx += 1
         assert not hs
 
+        if isinstance(h, PaddedStream):
+            h = unpad_stream(h)
         st2 = jnp.sum(st, axis=1) if st is not None else None
         h = GroupNorm32(
             with_silu=True, use_pallas=self.use_pallas_gn and not fused,

@@ -32,6 +32,7 @@ two (the U-Net's folded H*W). Weights use the flax Conv temporal layout
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -39,20 +40,39 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# S-tile VMEM budget for the temporal-conv kernel blocks (bytes); the
+# shifted copies / fp32 accumulator / residual / double-buffering multiply
+# the block size ~14x, so budgets >=2 MB OOM the 16 MB scoped vmem
+TCONV_TILE_BUDGET = int(
+    os.environ.get("V2A_TCONV_TILE_BUDGET", str(1024 * 1024))
+)
 
-def _pick_tile(s: int, c: int, budget_bytes: int = 1024 * 1024) -> int:
-    """Largest power-of-two tile of S whose (F, tile, C) bf16 block stays
-    within budget (S is a power of two at every U-Net level). The budget
-    covers the block itself; the shifted copies, fp32 accumulator, residual
-    and double-buffered IO multiply it ~14x — 2 MB budgets OOM the 16 MB
-    scoped vmem in production (measured)."""
+
+def _pick_tile(s: int, c: int, budget_bytes: int = 0) -> int:
+    """Largest 8-aligned divisor tile of S whose (F, tile, C) bf16 block
+    stays within budget. S is a power of two at every U-Net level in the
+    plain layout; the padded-stream layout folds S' = Hp*Wp (e.g. 130*136),
+    so general divisors are searched. The budget covers the block itself;
+    the shifted copies, fp32 accumulator, residual and double-buffered IO
+    multiply it ~14x — 2 MB budgets OOM the 16 MB scoped vmem in
+    production (measured)."""
+    budget_bytes = budget_bytes or TCONV_TILE_BUDGET
     max_rows = max(budget_bytes // (c * 2 * 7), 8)
-    tile = 1
-    while tile * 2 <= s and tile * 2 <= max_rows:
-        tile *= 2
-    while s % tile:
-        tile //= 2
-    return max(tile, 1)
+    best = 0
+    d = 1
+    while d * d <= s:
+        if s % d == 0:
+            for t in (d, s // d):
+                if t <= max_rows and t % 8 == 0 and t > best:
+                    best = t
+        d += 1
+    if best:
+        return best
+    # tiny/odd S: fall back to the largest divisor <= max_rows
+    for t in range(min(s, max_rows), 0, -1):
+        if s % t == 0:
+            return t
+    return 1
 
 
 def _tconv_kernel(
@@ -710,6 +730,225 @@ def fused_affine_conv3x3(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, th, w, d), lambda nn, i: (nn, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, w, d), x.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+# -- padded-stream fused affine+SiLU 3x3 conv --------------------------------
+#
+# The padded-stream formulation keeps activations in (N, Hp, Wp, C) form —
+# interior at rows 1..H / cols 1..W, one halo row/col each side (Wp rounded
+# up to the sublane multiple) — across a whole U-Net level, so the
+# per-conv `jnp.pad` HBM pass (15.5 ms/fwd in the round-2 trace) never
+# happens. The conv kernel reads the pre-padded stream directly, applies
+# the collapsed-GroupNorm affine + SiLU + interior mask on the fly (pad
+# VALUES are therefore irrelevant on input), and writes a padded output
+# with zeroed borders (column placement happens in f32 before the bf16
+# cast — Mosaic has no bf16 sublane rotate).
+
+
+def padded_hw(h: int, w: int) -> Tuple[int, int]:
+    """(Hp, Wp) of the padded-stream layout for an (H, W) interior."""
+    return h + 2, ((w + 2 + 7) // 8) * 8
+
+
+def padded_band_rows(hp: int, wp: int, cins, d: int,
+                     budget_bytes: int = 6 * 1024 * 1024) -> int:
+    """Rows per output band: the largest proper divisor of Hp whose working
+    set (per-part halo window + shifted scratch, fp32 accumulator, padded
+    output block) fits the budget. tp <= Hp-2 so the (tp+2)-row input
+    window is always in-bounds after clamping."""
+    def cost(t):
+        per_part = sum((t + 2) * wp * c * 2 * 2 for c in cins)
+        return per_part + t * wp * d * 6
+    best = 1
+    for t in range(1, hp // 2 + 1):
+        if hp % t == 0 and t <= hp - 2 and cost(t) <= budget_bytes:
+            best = max(best, t)
+    return best
+
+
+def _padded_conv_kernel(
+    *refs, tp, h, w, wp, cins, d, silu, n_bands,
+):
+    """One (sample, row-band) grid step of the padded-stream conv.
+
+    Inputs per part: a (1, tp+2, Wp, C_i) halo window (Element-indexed at
+    clip(i*tp-1, 0, Hp-tp-2) — the clamp keeps the window in-bounds; a
+    shifted copy in scratch restores the desired-row alignment for the
+    first/last bands), the per-(N, C_i) collapsed-GroupNorm affine, and
+    the (9*C_i, D) tap matrix. Output: the (1, tp, Wp, D) padded band —
+    interior rows conv'd, border rows/cols zeroed.
+    """
+    n_parts = len(cins)
+    idx = 0
+    x_refs = []
+    a_refs = []
+    b_refs = []
+    w_refs = []
+    for _ in range(n_parts):
+        x_refs.append(refs[idx]); idx += 1
+        a_refs.append(refs[idx]); idx += 1
+        b_refs.append(refs[idx]); idx += 1
+        w_refs.append(refs[idx]); idx += 1
+    bias_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1
+    scratch = refs[idx:idx + n_parts]
+
+    nn_ = pl.program_id(0)
+    i = pl.program_id(1)
+    hp = h + 2
+    a_start = jnp.clip(i * tp - 1, 0, hp - tp - 2)  # actual window start
+
+    for pi in range(n_parts):
+        c = cins[pi]
+        x = x_refs[pi][0]  # (tp+2, Wp, C) raw padded-stream values
+        n_rows = a_refs[pi].shape[0]
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1) == nn_
+        ).astype(jnp.float32)
+        av = jax.lax.dot_general(
+            sel, a_refs[pi][:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]  # (C,)
+        bv = jax.lax.dot_general(
+            sel, b_refs[pi][:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]
+        xf = x.astype(jnp.float32) * av[None, None, :] + bv[None, None, :]
+        if silu:
+            xf = xf * jax.nn.sigmoid(xf)
+        # interior mask in PADDED coordinates: global row g = A + wrow in
+        # [1, H], col in [1, W]; pad values (whatever the producer left
+        # there) never survive this mask
+        rr = (
+            jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 0) + a_start
+        )
+        cc = jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 1)
+        keep = (rr >= 1) & (rr <= h) & (cc >= 1) & (cc <= w)
+        xb = jnp.where(keep, xf, 0.0).astype(x_refs[pi].dtype)
+
+        # desired-row alignment: scratch row r must hold global row
+        # i*tp-1+r. Middle bands read it directly; the clamped first/last
+        # bands shift by one (the row falling off is a never-read pad).
+        zrow = jnp.zeros((1, wp, c), xb.dtype)
+
+        @pl.when(jnp.logical_and(i > 0, i < n_bands - 1))
+        def _():
+            scratch[pi][:] = xb
+
+        @pl.when(i == 0)
+        def _():
+            scratch[pi][:] = jnp.concatenate([zrow, xb[:tp + 1]], axis=0)
+
+        @pl.when(i == n_bands - 1)
+        def _():
+            scratch[pi][:] = jnp.concatenate([xb[1:], zrow], axis=0)
+
+    acc = None
+    for pi in range(n_parts):
+        c = cins[pi]
+        xs_all = scratch[pi][:]
+        for dj in range(3):
+            sh = xs_all[:, dj:dj + w, :]  # (tp+2, W, C)
+            for di in range(3):
+                t = di * 3 + dj
+                xs = sh[di:di + tp].reshape(tp * w, c)
+                part = jax.lax.dot_general(
+                    xs, w_refs[pi][t * c:(t + 1) * c],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
+    y = acc + bias_ref[0].astype(jnp.float32)[None, :]
+    y = y.reshape(tp, w, d)
+    # zero the pad rows of this band (global out row must be in [1, H])
+    g_out = jax.lax.broadcasted_iota(jnp.int32, (tp, w, 1), 0) + i * tp
+    y = jnp.where((g_out >= 1) & (g_out <= h), y, 0.0)
+    # place at col offset 1 in f32 (bf16 sublane rotates are unsupported)
+    yp = jnp.concatenate(
+        [
+            jnp.zeros((tp, 1, d), jnp.float32),
+            y,
+            jnp.zeros((tp, wp - w - 1, d), jnp.float32),
+        ],
+        axis=1,
+    )
+    o_ref[0] = yp.astype(o_ref.dtype)
+
+
+def fused_affine_conv3x3_padded(
+    parts,
+    bias: jax.Array,
+    hw: Tuple[int, int],
+    silu: bool = True,
+    tile_h: Optional[int] = None,
+    interpret: bool = False,
+):
+    """conv3x3_same over a pre-padded stream, multi-part (split concat).
+
+    Args:
+      parts: list of (x, kernel, a, b): x (N, Hp, Wp, C_i) padded-stream
+        activations (interior rows 1..H, cols 1..W; pad values arbitrary —
+        masked in-kernel), kernel (3, 3, C_i, D), a/b the per-(N, C_i)
+        float32 collapsed-GroupNorm affine (required). Parts are summed
+        (the split-skip concat convolution, `PERF_SPLIT_SKIP`).
+      bias: (D,), added once.
+      hw: the interior (H, W).
+    Returns (N, Hp, Wp, D) in the input dtype with zeroed pad border.
+    """
+    h, w = hw
+    hp, wp = padded_hw(h, w)
+    n = parts[0][0].shape[0]
+    d = parts[0][1].shape[-1]
+    for x, kernel, a, b in parts:
+        if x.shape[1] != hp or x.shape[2] != wp:
+            raise ValueError(f"part shape {x.shape} vs padded ({hp},{wp})")
+        if a is None or b is None:
+            raise ValueError("padded-stream conv requires the affine")
+    cins = [x.shape[-1] for x, *_ in parts]
+    tp = tile_h or padded_band_rows(hp, wp, cins, d)
+    if hp % tp or tp > hp - 2:
+        raise ValueError(f"tile_h {tp} must divide Hp={hp} and be <= Hp-2")
+    n_bands = hp // tp
+
+    from jax._src.pallas import core as _pc
+
+    E = _pc.Element
+    dtype = parts[0][0].dtype
+
+    def win_idx(nn_, i):
+        return (nn_, jnp.clip(i * tp - 1, 0, hp - tp - 2), 0, 0)
+
+    in_specs = []
+    args = []
+    for x, kernel, a, b in parts:
+        c = x.shape[-1]
+        in_specs.append(
+            pl.BlockSpec((E(1), E(tp + 2), E(wp), E(c)), win_idx)
+        )
+        args.append(x)
+        in_specs.append(pl.BlockSpec((n, c), lambda nn_, i: (0, 0)))
+        args.append(a.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((n, c), lambda nn_, i: (0, 0)))
+        args.append(b.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((9 * c, d), lambda nn_, i: (0, 0)))
+        args.append(kernel.astype(dtype).reshape(9 * c, d))
+    in_specs.append(pl.BlockSpec((1, d), lambda nn_, i: (0, 0)))
+    args.append(bias.reshape(1, d))
+
+    return pl.pallas_call(
+        functools.partial(
+            _padded_conv_kernel, tp=tp, h=h, w=w, wp=wp, cins=tuple(cins),
+            d=d, silu=silu, n_bands=n_bands,
+        ),
+        grid=(n, n_bands),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tp, wp, d), lambda nn_, i: (nn_, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, hp, wp, d), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tp + 2, wp, c), dtype) for c in cins
+        ],
         interpret=interpret,
     )(*args)
 
