@@ -69,11 +69,16 @@ def main():
         shapes,
     )
 
+    from v2a_tpu.models import video_unet as _vu
+
+    # unroll 4 amortized per-step control flow (+1% on-chip) BEFORE the
+    # padded stream; with the ~8% larger padded activations unroll 4
+    # regresses 4.20 -> 3.37 f/s (HBM pressure), so padded defaults to 1
+    default_unroll = "1" if (_vu.PERF_PADDED_STREAM or not on_tpu) else "4"
     diffusion = GaussianDiffusion(
         schedule=DiffusionSchedule.create(100, "cosine"),
         objective="pred_v", sampling_timesteps=steps,
-        # unroll 4 amortizes per-step control flow (+1% measured on-chip)
-        scan_unroll=int(os.environ.get("V2A_SCAN_UNROLL", "4" if on_tpu else "1")),
+        scan_unroll=int(os.environ.get("V2A_SCAN_UNROLL", default_unroll)),
     )
 
     @jax.jit

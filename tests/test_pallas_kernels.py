@@ -404,7 +404,7 @@ def test_fused_affine_conv3x3_padded_matches_reference():
     bias = jnp.asarray(rs.randn(d).astype(np.float32) * 0.1)
     ref = ref + bias
 
-    for tile_h in (2, 5):  # Hp=10: exercises both band layouts
+    for tile_h in (2, 4):  # H=8: multiple band layouts
         got = fused_affine_conv3x3_padded(
             parts, bias, (h, w), silu=True, tile_h=tile_h, interpret=True
         )
@@ -413,9 +413,65 @@ def test_fused_affine_conv3x3_padded_matches_reference():
             np.asarray(got)[:, 1:h + 1, 1:w + 1, :], np.asarray(ref),
             atol=1e-4,
         )
-        border = np.asarray(got).copy()
-        border[:, 1:h + 1, 1:w + 1, :] = 0
-        assert np.abs(border).max() == 0.0
+        # layout contract: pad COLS zero; pad ROWS unwritten (garbage)
+        cols = np.asarray(got)[:, 1:h + 1, :, :].copy()
+        cols[:, :, 1:w + 1, :] = 0
+        assert np.abs(cols).max() == 0.0
+
+
+def test_temporal_conv_padded_matches_reference():
+    """The padded-stream temporal conv: row-banded blocks skip garbage pad
+    rows, col pads come out zero, and the emitted stats are exact interior
+    sum/sumsq (vs the plain reference on the interior)."""
+    from v2a_tpu.ops.resblock_kernels import (
+        padded_hw, temporal_conv_padded, temporal_conv_reference,
+    )
+
+    rs = np.random.RandomState(5)
+    b, f, h, w, c = 2, 3, 8, 8, 8
+    hp, wp = padded_hw(h, w)
+    x = rs.randn(b, f, h, w, c).astype(np.float32)
+    kernel = (rs.randn(3, c, c) * 0.2).astype(np.float32)
+    bias = (rs.randn(c) * 0.1).astype(np.float32)
+    emb = (rs.randn(b, c) * 0.5).astype(np.float32)
+    res = rs.randn(b, f, h, w, c).astype(np.float32)
+
+    # padded layout: garbage ROWS, zero COLS (the producer contract)
+    def to_padded(u):
+        p = np.zeros((b, f, hp, wp, c), np.float32)
+        p[:, :, 0] = 5.5
+        p[:, :, -1] = -4.4
+        p[:, :, 1:h + 1, 1:w + 1] = u
+        return jnp.asarray(p)
+
+    xp = to_padded(x)
+    rp = to_padded(res)
+    got, stats = temporal_conv_padded(
+        xp, jnp.asarray(kernel), jnp.asarray(bias), (h, w),
+        emb=jnp.asarray(emb), residual=rp, want_stats=True,
+        interpret=True, tile_r=4,
+    )
+    want = temporal_conv_reference(
+        jnp.asarray(x), jnp.asarray(kernel), jnp.asarray(bias)
+    ) + emb[:, None, None, None, :] + res
+    gotn = np.asarray(got)
+    np.testing.assert_allclose(
+        gotn[:, :, 1:h + 1, 1:w + 1], np.asarray(want), atol=1e-4
+    )
+    # col pads exactly zero on interior rows
+    cols = gotn[:, :, 1:h + 1].copy()
+    cols[:, :, :, 1:w + 1] = 0
+    assert np.abs(cols).max() == 0.0
+    # stats are exact interior statistics
+    wf = np.asarray(
+        gotn[:, :, 1:h + 1, 1:w + 1], np.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats)[:, :, 0], wf.sum(axis=(2, 3)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats)[:, :, 1], (wf * wf).sum(axis=(2, 3)), rtol=1e-5
+    )
 
 
 def test_video_unet_padded_stream_matches_default():
@@ -466,6 +522,64 @@ def test_video_unet_padded_stream_matches_default():
     np.testing.assert_allclose(
         np.asarray(out1), np.asarray(out0), atol=5e-4, rtol=1e-3
     )
+
+
+def test_fused_conv_tconv_padded_matches_two_kernel_path():
+    """The conv+tconv mega-kernel must reproduce the two-kernel padded
+    path exactly (same tap order, same bf16 rounding points)."""
+    from v2a_tpu.ops.resblock_kernels import (
+        fused_affine_conv3x3_padded, fused_conv_tconv_padded, padded_hw,
+        temporal_conv_padded,
+    )
+
+    rs = np.random.RandomState(4)
+    b, f, h, w, d = 2, 3, 8, 8, 16
+    cins = [8, 16]
+    hp, wp = padded_hw(h, w)
+    parts = []
+    for ci in cins:
+        x = np.zeros((b, f, hp, wp, ci), np.float32)
+        x[:, :, 0] = 3.3
+        x[:, :, -1] = -2.2  # garbage pad rows
+        x[:, :, 1:h + 1, 1:w + 1] = rs.randn(b, f, h, w, ci)
+        k = (rs.randn(3, 3, ci, d) * 0.1).astype(np.float32)
+        a = (1 + 0.1 * rs.randn(b * f, ci)).astype(np.float32)
+        bb = (0.1 * rs.randn(b * f, ci)).astype(np.float32)
+        parts.append((jnp.asarray(x), jnp.asarray(k), jnp.asarray(a),
+                      jnp.asarray(bb)))
+    kbias = jnp.asarray(rs.randn(d).astype(np.float32) * 0.1)
+    tk = jnp.asarray((rs.randn(3, d, d) * 0.2).astype(np.float32))
+    tb = jnp.asarray((rs.randn(d) * 0.1).astype(np.float32))
+    emb = jnp.asarray((rs.randn(b, d) * 0.5).astype(np.float32))
+    res = np.zeros((b, f, hp, wp, d), np.float32)
+    res[:, :, 0] = 9.9
+    res[:, :, 1:h + 1, 1:w + 1] = rs.randn(b, f, h, w, d)
+    res = jnp.asarray(res)
+
+    flat = [
+        (p.reshape(b * f, hp, wp, c), k, a, bb)
+        for (p, k, a, bb), c in zip(parts, cins)
+    ]
+    y = fused_affine_conv3x3_padded(flat, kbias, (h, w), silu=True,
+                                    interpret=True)
+    want, wstats = temporal_conv_padded(
+        y.reshape(b, f, hp, wp, d), tk, tb, (h, w), emb=emb, residual=res,
+        want_stats=True, interpret=True,
+    )
+    got, gstats = fused_conv_tconv_padded(
+        parts, kbias, tk, tb, (h, w), emb=emb, residual=res, silu=True,
+        want_stats=True, interpret=True, tile_h=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, 1:h + 1, 1:w + 1],
+        np.asarray(want)[:, :, 1:h + 1, 1:w + 1], atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gstats), np.asarray(wstats), rtol=1e-5, atol=1e-4
+    )
+    cols = np.asarray(got)[:, :, 1:h + 1].copy()
+    cols[:, :, :, 1:w + 1] = 0
+    assert np.abs(cols).max() == 0.0
 
 
 def test_temporal_conv_fused_hw_matches_reference():

@@ -95,34 +95,39 @@ PERF_SKIP1X1_DOT = os.environ.get("V2A_SKIP1X1_DOT", "1") == "1"
 # (B, F, Hp, Wp, C) padded form for the whole level, so the per-conv
 # `jnp.pad` HBM pass (15.5 ms/fwd in the round-2 trace) disappears — the
 # conv kernel reads the pre-padded stream and writes a padded output with
-# zeroed borders. Only the fused (inference) path. 0 = off.
-PERF_PADDED_STREAM = os.environ.get("V2A_PADDED_STREAM", "0") == "1"
+# zeroed borders. Only the fused (inference) path. Measured -8 ms/fwd
+# (163.5 vs 171.5, PERF.md round 2c); on by default.
+PERF_PADDED_STREAM = os.environ.get("V2A_PADDED_STREAM", "1") == "1"
+# Fuse each padded PseudoConv3d's spatial conv + temporal conv into ONE
+# Pallas kernel (all F frames of a row band in VMEM): the intermediate
+# conv activation never round-trips HBM. Requires PERF_PADDED_STREAM.
+# Measured 155.3 vs 158.7 ms/fwd (PERF.md round 2c); on by default.
+PERF_MEGA_KERNEL = os.environ.get("V2A_MEGA_KERNEL", "1") == "1"
 
 
 class PaddedStream:
     """A (B, F, Hp, Wp, C) activation tensor in the padded-stream layout
-    (interior at rows 1..H, cols 1..W; `ops/resblock_kernels.py::padded_hw`)
-    plus `pv`, the per-(B, C) float32 value every pad position holds
-    (None = zeros). Pad VALUES matter only to the temporal conv, whose
-    GroupNorm statistics are corrected exactly by subtracting the n_pad
-    pad contributions; the spatial conv masks pads on the fly."""
+    (interior at rows 1..H, cols 1..W; `ops/resblock_kernels.py::padded_hw`).
+    Layout contract: pad COLS are zero; pad ROWS (0 and Hp-1) are
+    arbitrary garbage — every consumer (the conv kernel's interior mask,
+    the temporal conv's row-skipping blocks, `unpad_stream`) masks or
+    never reads them, which is what lets producers skip writing them."""
 
-    __slots__ = ("x", "hw", "pv")
+    __slots__ = ("x", "hw")
 
-    def __init__(self, x: jax.Array, hw: Tuple[int, int], pv=None):
+    def __init__(self, x: jax.Array, hw: Tuple[int, int]):
         self.x = x
         self.hw = hw
-        self.pv = pv
 
 
-def pad_stream(h: jax.Array, pv=None) -> PaddedStream:
+def pad_stream(h: jax.Array) -> PaddedStream:
     """(B, F, H, W, C) -> PaddedStream with zero pads."""
     from v2a_tpu.ops.resblock_kernels import padded_hw
 
     b, f, hh, ww, c = h.shape
     hp, wp = padded_hw(hh, ww)
     x = jnp.pad(h, ((0, 0), (0, 0), (1, hp - hh - 1), (1, wp - ww - 1), (0, 0)))
-    return PaddedStream(x, (hh, ww), pv)
+    return PaddedStream(x, (hh, ww))
 
 
 def unpad_stream(ps: PaddedStream) -> jax.Array:
@@ -639,14 +644,13 @@ class PseudoConv3d(nn.Module):
     def _padded_call(self, x, emb, residual, want_stats, pre_affine):
         """Padded-stream variant (`PERF_PADDED_STREAM`): inputs/outputs are
         `PaddedStream`s, the spatial conv runs through
-        `fused_affine_conv3x3_padded` (no per-conv HBM pad pass), and the
-        temporal conv operates on the padded flat S' = Hp*Wp view with its
-        GroupNorm statistics corrected exactly for the n_pad positions
-        (every pad holds bias + emb + residual-pad, a per-(B, C) constant).
-        Parameter tree identical to the plain path."""
+        `fused_affine_conv3x3_padded` (no per-conv HBM pad pass, Element
+        out spec onto interior rows), and the temporal conv runs in
+        row-banded padded form (`temporal_conv_padded`) whose emitted
+        GroupNorm statistics are exact interior statistics. Parameter tree
+        identical to the plain path."""
         parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
         hw = parts[0].hw
-        hh, ww = hw
         b, f, hp, wp = parts[0].x.shape[:4]
         feat = self.features
         k = self.kernel_size
@@ -654,8 +658,9 @@ class PseudoConv3d(nn.Module):
         cin = sum(p.x.shape[-1] for p in parts)
 
         if k == 1:
-            # 1x1 conv as a dot on the padded stream; pads map through it
-            # exactly: pv_out = sum_i pv_i @ K_i + bias
+            # 1x1 conv as a dot on the padded stream (garbage rows map to
+            # garbage rows — never consumed; zero cols map to the bias,
+            # masked by the temporal conv that consumes this as residual)
             if want_stats or emb is not None or residual is not None:
                 raise ValueError("padded 1x1 conv is the bare skip proj")
             kernel, kbias = _Conv2DParams(
@@ -663,7 +668,6 @@ class PseudoConv3d(nn.Module):
             )(cin)
             k2 = kernel.reshape(cin, feat)
             y = None
-            pv = jnp.zeros((b, feat), jnp.float32)
             off = 0
             for p in parts:
                 pc = p.x.shape[-1]
@@ -674,18 +678,16 @@ class PseudoConv3d(nn.Module):
                     preferred_element_type=self.dtype,
                 )
                 y = yp if y is None else y + yp
-                if p.pv is not None:
-                    pv = pv + p.pv @ k2[off:off + pc]
                 off += pc
             y = y + kbias.astype(self.dtype)
-            pv = pv + kbias[None, :]
-            return PaddedStream(y, hw, pv)
+            return PaddedStream(y, hw)
 
         if k != 3 or self.spatial_strides != (1, 1):
             raise ValueError("padded stream supports 3x3 stride-1 convs")
         from v2a_tpu.ops.resblock_kernels import (
             fused_affine_conv3x3_padded,
-            temporal_conv_fused,
+            fused_conv_tconv_padded,
+            temporal_conv_padded,
         )
 
         kernel, kbias = _Conv2DParams(
@@ -695,6 +697,7 @@ class PseudoConv3d(nn.Module):
         if pre is not None and not isinstance(pre[0], (tuple, list)):
             pre = [pre]
         kparts = []
+        mparts = []
         off = 0
         for pi, p in enumerate(parts):
             pc = p.x.shape[-1]
@@ -711,40 +714,47 @@ class PseudoConv3d(nn.Module):
                 p.x.reshape(b * f, hp, wp, pc).astype(self.dtype),
                 kernel[:, :, off:off + pc], af, bf_,
             ))
+            mparts.append((
+                p.x.astype(self.dtype), kernel[:, :, off:off + pc], af, bf_,
+            ))
             off += pc
-        y = fused_affine_conv3x3_padded(
-            kparts, kbias, hw, silu=pre is not None, interpret=interp
-        )
 
         tkernel, tbias = _TemporalConvParams(
             feat, k, name="temporal_conv"
         )()
-        res_flat = None
-        res_pv = None
-        if residual is not None:
-            res_flat = residual.x.reshape(b, f, hp * wp, feat)
-            res_pv = residual.pv
-        out = temporal_conv_fused(
-            y.reshape(b, f, hp * wp, feat).astype(self.dtype),
-            tkernel, tbias, emb=emb, residual=res_flat,
+        from v2a_tpu.ops.resblock_kernels import (
+            conv_tconv_band_rows, padded_hw as _phw,
+        )
+
+        mega_ok = PERF_MEGA_KERNEL and conv_tconv_band_rows(
+            hw[0], hw[1], _phw(*hw)[1], [p.x.shape[-1] for p in parts],
+            feat, f, has_res=residual is not None,
+        ) > 0
+        if mega_ok:
+            out = fused_conv_tconv_padded(
+                mparts, kbias, tkernel, tbias, hw, emb=emb,
+                residual=residual.x if residual is not None else None,
+                silu=pre is not None, want_stats=want_stats,
+                interpret=interp,
+            )
+            if want_stats:
+                yt, stats = out
+                return PaddedStream(yt, hw), stats
+            return PaddedStream(out, hw)
+
+        y = fused_affine_conv3x3_padded(
+            kparts, kbias, hw, silu=pre is not None, interpret=interp
+        )
+        out = temporal_conv_padded(
+            y.reshape(b, f, hp, wp, feat).astype(self.dtype),
+            tkernel, tbias, hw, emb=emb,
+            residual=residual.x if residual is not None else None,
             want_stats=want_stats, interpret=interp,
         )
-        # the value every pad position now holds (conv output pads are 0)
-        v = jnp.broadcast_to(
-            tbias.astype(jnp.float32)[None, :], (b, feat)
-        )
-        if emb is not None:
-            v = v + emb.reshape(b, feat).astype(jnp.float32)
-        if res_pv is not None:
-            v = v + res_pv
         if want_stats:
             yt, stats = out
-            n_pad = hp * wp - hh * ww
-            stats = stats - n_pad * jnp.stack([v, v * v], axis=1)[:, None]
-        else:
-            yt = out
-        ps = PaddedStream(yt.reshape(b, f, hp, wp, feat), hw, v)
-        return (ps, stats) if want_stats else ps
+            return PaddedStream(yt, hw), stats
+        return PaddedStream(out, hw)
 
 
 def _dirac_init(key, shape, dtype=jnp.float32):

@@ -752,34 +752,36 @@ def padded_hw(h: int, w: int) -> Tuple[int, int]:
     return h + 2, ((w + 2 + 7) // 8) * 8
 
 
-def padded_band_rows(hp: int, wp: int, cins, d: int,
+def padded_band_rows(h: int, wp: int, cins, d: int,
                      budget_bytes: int = 6 * 1024 * 1024) -> int:
-    """Rows per output band: the largest proper divisor of Hp whose working
-    set (per-part halo window + shifted scratch, fp32 accumulator, padded
-    output block) fits the budget. tp <= Hp-2 so the (tp+2)-row input
-    window is always in-bounds after clamping."""
+    """Rows per output band: the largest divisor of the INTERIOR height H
+    whose working set (per-part halo window, fp32 accumulator, padded
+    output block) fits the budget. With tp | H the (tp+2)-row input window
+    at padded-row start i*tp is always in-bounds (the padded array has
+    H+2 rows) — no clamping, no realignment pass."""
     def cost(t):
-        per_part = sum((t + 2) * wp * c * 2 * 2 for c in cins)
+        per_part = sum((t + 2) * wp * c * 2 for c in cins)
         return per_part + t * wp * d * 6
     best = 1
-    for t in range(1, hp // 2 + 1):
-        if hp % t == 0 and t <= hp - 2 and cost(t) <= budget_bytes:
+    for t in range(1, h + 1):
+        if h % t == 0 and cost(t) <= budget_bytes:
             best = max(best, t)
     return best
 
 
 def _padded_conv_kernel(
-    *refs, tp, h, w, wp, cins, d, silu, n_bands,
+    *refs, tp, h, w, wp, cins, d, silu,
 ):
     """One (sample, row-band) grid step of the padded-stream conv.
 
-    Inputs per part: a (1, tp+2, Wp, C_i) halo window (Element-indexed at
-    clip(i*tp-1, 0, Hp-tp-2) — the clamp keeps the window in-bounds; a
-    shifted copy in scratch restores the desired-row alignment for the
-    first/last bands), the per-(N, C_i) collapsed-GroupNorm affine, and
-    the (9*C_i, D) tap matrix. Output: the (1, tp, Wp, D) padded band —
-    interior rows conv'd, border rows/cols zeroed.
-    """
+    Inputs per part: the (1, tp+2, Wp, C_i) halo window (Element-indexed
+    at padded-row i*tp — always in-bounds for tp | H), the per-(N, C_i)
+    collapsed-GroupNorm affine, and the (9*C_i, D) tap matrix. The output
+    band (1, tp, Wp, D) lands on INTERIOR padded rows 1+i*tp.. via an
+    Element out spec: interior cols conv'd, pad cols zeroed (placement in
+    f32 — no bf16 sublane rotate on Mosaic), pad ROWS of the output buffer
+    never written (garbage by contract: every padded-stream consumer
+    masks or skips them)."""
     n_parts = len(cins)
     idx = 0
     x_refs = []
@@ -792,14 +794,12 @@ def _padded_conv_kernel(
         b_refs.append(refs[idx]); idx += 1
         w_refs.append(refs[idx]); idx += 1
     bias_ref = refs[idx]; idx += 1
-    o_ref = refs[idx]; idx += 1
-    scratch = refs[idx:idx + n_parts]
+    o_ref = refs[idx]
 
     nn_ = pl.program_id(0)
     i = pl.program_id(1)
-    hp = h + 2
-    a_start = jnp.clip(i * tp - 1, 0, hp - tp - 2)  # actual window start
 
+    acc = None
     for pi in range(n_parts):
         c = cins[pi]
         x = x_refs[pi][0]  # (tp+2, Wp, C) raw padded-stream values
@@ -818,39 +818,21 @@ def _padded_conv_kernel(
         xf = x.astype(jnp.float32) * av[None, None, :] + bv[None, None, :]
         if silu:
             xf = xf * jax.nn.sigmoid(xf)
-        # interior mask in PADDED coordinates: global row g = A + wrow in
-        # [1, H], col in [1, W]; pad values (whatever the producer left
-        # there) never survive this mask
+        # interior mask in PADDED coordinates: global row g = i*tp + wrow
+        # in [1, H], col in [1, W]; pad values (zeros, garbage rows, other
+        # parts' leftovers) never survive this select
         rr = (
-            jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 0) + a_start
+            jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 0) + i * tp
         )
         cc = jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 1)
         keep = (rr >= 1) & (rr <= h) & (cc >= 1) & (cc <= w)
         xb = jnp.where(keep, xf, 0.0).astype(x_refs[pi].dtype)
 
-        # desired-row alignment: scratch row r must hold global row
-        # i*tp-1+r. Middle bands read it directly; the clamped first/last
-        # bands shift by one (the row falling off is a never-read pad).
-        zrow = jnp.zeros((1, wp, c), xb.dtype)
-
-        @pl.when(jnp.logical_and(i > 0, i < n_bands - 1))
-        def _():
-            scratch[pi][:] = xb
-
-        @pl.when(i == 0)
-        def _():
-            scratch[pi][:] = jnp.concatenate([zrow, xb[:tp + 1]], axis=0)
-
-        @pl.when(i == n_bands - 1)
-        def _():
-            scratch[pi][:] = jnp.concatenate([xb[1:], zrow], axis=0)
-
-    acc = None
-    for pi in range(n_parts):
-        c = cins[pi]
-        xs_all = scratch[pi][:]
+        # out padded row r = 1+i*tp+rl needs input padded rows r-1..r+1 =
+        # window rows rl..rl+2 — taps are the same static slices as the
+        # pre-padded banded kernel
         for dj in range(3):
-            sh = xs_all[:, dj:dj + w, :]  # (tp+2, W, C)
+            sh = xb[:, dj:dj + w, :]  # (tp+2, W, C)
             for di in range(3):
                 t = di * 3 + dj
                 xs = sh[di:di + tp].reshape(tp * w, c)
@@ -862,9 +844,6 @@ def _padded_conv_kernel(
                 acc = part if acc is None else acc + part
     y = acc + bias_ref[0].astype(jnp.float32)[None, :]
     y = y.reshape(tp, w, d)
-    # zero the pad rows of this band (global out row must be in [1, H])
-    g_out = jax.lax.broadcasted_iota(jnp.int32, (tp, w, 1), 0) + i * tp
-    y = jnp.where((g_out >= 1) & (g_out <= h), y, 0.0)
     # place at col offset 1 in f32 (bf16 sublane rotates are unsupported)
     yp = jnp.concatenate(
         [
@@ -895,7 +874,10 @@ def fused_affine_conv3x3_padded(
         (the split-skip concat convolution, `PERF_SPLIT_SKIP`).
       bias: (D,), added once.
       hw: the interior (H, W).
-    Returns (N, Hp, Wp, D) in the input dtype with zeroed pad border.
+    Returns (N, Hp, Wp, D) in the input dtype: interior + zeroed pad COLS
+    written; pad ROWS (0 and Hp-1) left unwritten (garbage). Consumers —
+    this kernel's own input mask, `temporal_conv_padded`'s row-skipping
+    blocks, and `unpad_stream` — never read them.
     """
     h, w = hw
     hp, wp = padded_hw(h, w)
@@ -907,25 +889,24 @@ def fused_affine_conv3x3_padded(
         if a is None or b is None:
             raise ValueError("padded-stream conv requires the affine")
     cins = [x.shape[-1] for x, *_ in parts]
-    tp = tile_h or padded_band_rows(hp, wp, cins, d)
-    if hp % tp or tp > hp - 2:
-        raise ValueError(f"tile_h {tp} must divide Hp={hp} and be <= Hp-2")
-    n_bands = hp // tp
+    tp = tile_h or padded_band_rows(h, wp, cins, d)
+    if h % tp:
+        raise ValueError(f"tile_h {tp} must divide H={h}")
 
     from jax._src.pallas import core as _pc
 
     E = _pc.Element
     dtype = parts[0][0].dtype
 
-    def win_idx(nn_, i):
-        return (nn_, jnp.clip(i * tp - 1, 0, hp - tp - 2), 0, 0)
-
     in_specs = []
     args = []
     for x, kernel, a, b in parts:
         c = x.shape[-1]
         in_specs.append(
-            pl.BlockSpec((E(1), E(tp + 2), E(wp), E(c)), win_idx)
+            pl.BlockSpec(
+                (E(1), E(tp + 2), E(wp), E(c)),
+                lambda nn_, i: (nn_, i * tp, 0, 0),
+            )
         )
         args.append(x)
         in_specs.append(pl.BlockSpec((n, c), lambda nn_, i: (0, 0)))
@@ -940,17 +921,449 @@ def fused_affine_conv3x3_padded(
     return pl.pallas_call(
         functools.partial(
             _padded_conv_kernel, tp=tp, h=h, w=w, wp=wp, cins=tuple(cins),
-            d=d, silu=silu, n_bands=n_bands,
+            d=d, silu=silu,
         ),
-        grid=(n, n_bands),
+        grid=(n, h // tp),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tp, wp, d), lambda nn_, i: (nn_, i, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (E(1), E(tp), E(wp), E(d)),
+            lambda nn_, i: (nn_, 1 + i * tp, 0, 0),
+        ),
         out_shape=jax.ShapeDtypeStruct((n, hp, wp, d), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tp + 2, wp, c), dtype) for c in cins
-        ],
         interpret=interpret,
     )(*args)
+
+
+def _tconv_padded_kernel(
+    *refs, frames, tr, w, wp, has_emb, has_res, want_stats,
+):
+    """One (sample, row-band) step of the padded-stream temporal conv:
+    block (F, tr, Wp, C) of INTERIOR padded rows (Element start 1+j*tr —
+    garbage pad rows are never read or written). Whole-block per-tap dots
+    over the frame-shifted views; output pad COLS masked to zero, so the
+    emitted per-frame sum/sumsq statistics are exact interior statistics
+    (no pad correction needed anywhere)."""
+    idx = 0
+    x_ref = refs[idx]; idx += 1
+    w_ref = refs[idx]; idx += 1
+    b_ref = refs[idx]; idx += 1
+    e_ref = res_ref = None
+    if has_emb:
+        e_ref = refs[idx]; idx += 1
+    if has_res:
+        res_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1
+    stats_ref = refs[idx] if want_stats else None
+
+    bb = pl.program_id(0)
+    j = pl.program_id(1)
+    x = x_ref[0]  # (F, tr, Wp, C)
+    c = x.shape[-1]
+    bias = b_ref[0].astype(jnp.float32)
+    if has_emb:
+        nb = e_ref.shape[0]
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) == bb
+        ).astype(jnp.float32)
+        e = jax.lax.dot_general(
+            sel, e_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32)
+        bias = bias + e[0]
+
+    m = tr * wp
+    zrow = jnp.zeros((1, tr, wp, c), x.dtype)
+    xm1 = jnp.concatenate([zrow, x[:-1]], axis=0).reshape(frames * m, c)
+    xp1 = jnp.concatenate([x[1:], zrow], axis=0).reshape(frames * m, c)
+    x2 = x.reshape(frames * m, c)
+    w0, w1, w2 = w_ref[:c], w_ref[c:2 * c], w_ref[2 * c:]
+
+    def tap(xs, wt):
+        return jax.lax.dot_general(
+            xs, wt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    y = tap(x2, w1) + tap(xm1, w0) + tap(xp1, w2)
+    y = y + bias[None, :]
+    y = y.reshape(frames, tr, wp, c)
+    if has_res:
+        y = y + res_ref[0].astype(jnp.float32)
+    # zero the pad cols: keeps the stream's col pads exactly zero and the
+    # statistics exact (rows in this block are all interior)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (1, tr, wp, 1), 2)
+    y = jnp.where((cc >= 1) & (cc <= w), y, 0.0)
+    y16 = y.astype(o_ref.dtype)
+    o_ref[0] = y16
+    if want_stats:
+        yf = y16.astype(jnp.float32)
+        row = jnp.stack(
+            [jnp.sum(yf, axis=(1, 2)), jnp.sum(yf * yf, axis=(1, 2))],
+            axis=1,
+        )  # (F, 2, C)
+
+        @pl.when(j == 0)
+        def _():
+            stats_ref[0] = row
+
+        @pl.when(j > 0)
+        def _():
+            stats_ref[0] = stats_ref[0] + row
+
+
+def temporal_conv_padded(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    hw: Tuple[int, int],
+    emb: Optional[jax.Array] = None,
+    residual: Optional[jax.Array] = None,
+    want_stats: bool = False,
+    interpret: bool = False,
+    tile_r: Optional[int] = None,
+):
+    """The 3-tap temporal conv on a padded stream.
+
+    Args:
+      x: (B, F, Hp, Wp, C) padded-stream activations (col pads zero, row
+        pads arbitrary — row-banded blocks skip them).
+      kernel: (3, C, C); bias: (C,); emb: optional (B, C); residual:
+        optional (B, F, Hp, Wp, C) padded stream (only interior rows and
+        col-pad zeros are consumed).
+    Returns y (B, F, Hp, Wp, C) [, stats (B, F, 2, C) float32 — EXACT
+    interior sum/sumsq, no pad correction needed].
+    """
+    h, w = hw
+    b, f, hp, wp, c = x.shape
+    if kernel.shape != (3, c, c):
+        raise ValueError(f"temporal conv must be 3xCxC, got {kernel.shape}")
+    if hp != h + 2:
+        raise ValueError(f"padded rows {hp} vs interior {h}")
+
+    if tile_r is None:
+        max_rows = max(TCONV_TILE_BUDGET // (c * 2 * 7), 8)
+        tile_r = 1
+        for t in range(1, h + 1):
+            if h % t == 0 and t * wp <= max_rows:
+                tile_r = t
+    if h % tile_r:
+        raise ValueError(f"tile_r {tile_r} must divide H={h}")
+
+    from jax._src.pallas import core as _pc
+
+    E = _pc.Element
+
+    def band(bb, j):
+        return (bb, 0, 1 + j * tile_r, 0, 0)
+
+    spec5 = pl.BlockSpec((E(1), E(f), E(tile_r), E(wp), E(c)), band)
+    w2d = kernel.reshape(3 * c, c).astype(x.dtype)
+    in_specs = [
+        spec5,
+        pl.BlockSpec((3 * c, c), lambda bb, j: (0, 0)),
+        pl.BlockSpec((1, c), lambda bb, j: (0, 0)),
+    ]
+    args = [x, w2d, bias.reshape(1, c)]
+    if emb is not None:
+        in_specs.append(pl.BlockSpec((b, c), lambda bb, j: (0, 0)))
+        args.append(emb.reshape(b, c))
+    if residual is not None:
+        in_specs.append(spec5)
+        args.append(residual)
+
+    out_shapes = [jax.ShapeDtypeStruct((b, f, hp, wp, c), x.dtype)]
+    out_specs = [spec5]
+    if want_stats:
+        out_shapes.append(jax.ShapeDtypeStruct((b, f, 2, c), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, f, 2, c), lambda bb, j: (bb, 0, 0, 0))
+        )
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _tconv_padded_kernel, frames=f, tr=tile_r, w=w, wp=wp,
+            has_emb=emb is not None, has_res=residual is not None,
+            want_stats=want_stats,
+        ),
+        grid=(b, h // tile_r),
+        in_specs=in_specs,
+        out_specs=out_specs if want_stats else out_specs[0],
+        out_shape=out_shapes if want_stats else out_shapes[0],
+        interpret=interpret,
+    )(*args)
+    return outs
+
+
+# -- padded-stream fused spatial conv + temporal conv (mega-kernel) ----------
+
+
+def _conv_tconv_kernel(
+    *refs, tp, h, w, wp, cins, d, frames, silu, has_emb, has_res,
+    want_stats,
+):
+    """One (sample, row-band) step of the whole PseudoConv3d: per-frame
+    affine+SiLU+mask -> 3x3 conv (9 tap dots), then the 3-tap temporal mix
+    across frames IN VMEM, + bias/emb/residual, one padded write + exact
+    interior statistics. The conv output never round-trips HBM."""
+    n_parts = len(cins)
+    idx = 0
+    x_refs, a_refs, b_refs, w_refs = [], [], [], []
+    for _ in range(n_parts):
+        x_refs.append(refs[idx]); idx += 1
+        a_refs.append(refs[idx]); idx += 1
+        b_refs.append(refs[idx]); idx += 1
+        w_refs.append(refs[idx]); idx += 1
+    kb_ref = refs[idx]; idx += 1   # (1, D) spatial bias
+    tw_ref = refs[idx]; idx += 1   # (3D, D) temporal taps
+    tb_ref = refs[idx]; idx += 1   # (1, D) temporal bias
+    e_ref = res_ref = None
+    if has_emb:
+        e_ref = refs[idx]; idx += 1  # (B, D)
+    if has_res:
+        res_ref = refs[idx]; idx += 1  # (1, F, tp, Wp, D)
+    o_ref = refs[idx]; idx += 1
+    stats_ref = refs[idx] if want_stats else None
+
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+
+    # -- spatial conv per frame (affine rows are per (batch, frame)) --
+    rr = jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 0) + i * tp
+    cc = jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 1)
+    keep = (rr >= 1) & (rr <= h) & (cc >= 1) & (cc <= w)
+    yframes = []
+    for f in range(frames):
+        acc = None
+        for pi in range(n_parts):
+            c = cins[pi]
+            x = x_refs[pi][0, f]  # (tp+2, Wp, C)
+            n_rows = a_refs[pi].shape[0]  # B*F
+            sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1)
+                == bb * frames + f
+            ).astype(jnp.float32)
+            av = jax.lax.dot_general(
+                sel, a_refs[pi][:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]
+            bv = jax.lax.dot_general(
+                sel, b_refs[pi][:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]
+            xf = x.astype(jnp.float32) * av[None, None, :] + bv[None, None, :]
+            if silu:
+                xf = xf * jax.nn.sigmoid(xf)
+            xb = jnp.where(keep, xf, 0.0).astype(x_refs[pi].dtype)
+            for dj in range(3):
+                sh = xb[:, dj:dj + w, :]
+                for di in range(3):
+                    t = di * 3 + dj
+                    xs = sh[di:di + tp].reshape(tp * w, c)
+                    part = jax.lax.dot_general(
+                        xs, w_refs[pi][t * c:(t + 1) * c],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
+        yf = acc + kb_ref[0].astype(jnp.float32)[None, :]
+        yframes.append(yf.astype(o_ref.dtype)[None])  # (1, tp*W, D)
+    yc = jnp.concatenate(yframes, axis=0)  # (F, tp*W, D) bf16 in VMEM
+
+    # -- temporal 3-tap mix across frames --
+    tbias = tb_ref[0].astype(jnp.float32)
+    if has_emb:
+        nb = e_ref.shape[0]
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) == bb
+        ).astype(jnp.float32)
+        e = jax.lax.dot_general(
+            sel, e_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        tbias = tbias + e[0]
+    m = tp * w
+    zrow = jnp.zeros((1, m, d), yc.dtype)
+    xm1 = jnp.concatenate([zrow, yc[:-1]], axis=0).reshape(frames * m, d)
+    xp1 = jnp.concatenate([yc[1:], zrow], axis=0).reshape(frames * m, d)
+    x2 = yc.reshape(frames * m, d)
+    w0, w1, w2 = tw_ref[:d], tw_ref[d:2 * d], tw_ref[2 * d:]
+
+    def tap(xs, wt):
+        return jax.lax.dot_general(
+            xs, wt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    y = tap(x2, w1) + tap(xm1, w0) + tap(xp1, w2)
+    y = y + tbias[None, :]
+    y = y.reshape(frames, tp, w, d)
+    if has_res:
+        y = y + res_ref[0][:, :, 1:w + 1, :].astype(jnp.float32)
+    y16i = y.astype(o_ref.dtype)  # interior (F, tp, W, D)
+    # pad cols in f32 then cast (no bf16 sublane rotate on Mosaic)
+    yp = jnp.concatenate(
+        [
+            jnp.zeros((frames, tp, 1, d), jnp.float32),
+            y,
+            jnp.zeros((frames, tp, wp - w - 1, d), jnp.float32),
+        ],
+        axis=2,
+    )
+    o_ref[0] = yp.astype(o_ref.dtype)
+    if want_stats:
+        yf32 = y16i.astype(jnp.float32)
+        row = jnp.stack(
+            [jnp.sum(yf32, axis=(1, 2)), jnp.sum(yf32 * yf32, axis=(1, 2))],
+            axis=1,
+        )  # (F, 2, D)
+
+        @pl.when(i == 0)
+        def _():
+            stats_ref[0] = row
+
+        @pl.when(i > 0)
+        def _():
+            stats_ref[0] = stats_ref[0] + row
+
+
+def conv_tconv_band_rows(h: int, w: int, wp: int, cins, d: int,
+                         frames: int, has_res: bool = True,
+                         budget_bytes: int = 13 * 1024 * 1024) -> int:
+    """Band size for the mega-kernel, or 0 if it is not viable at this
+    shape. All F frames of the band live in VMEM at once; the estimate
+    includes the double-buffered IO blocks, the weight matrices (4.7 MB
+    alone at C=D=512 — the term the first version missed, which OOM'd the
+    16 MB scoped vmem at the 512-channel upsample conv), and the f32
+    per-frame temporaries. Bands with under 256 output rows per dot are
+    rejected as MXU-inefficient."""
+    weights = sum(9 * c * d * 2 for c in cins) + 3 * d * d * 2
+
+    def cost(t):
+        win = sum(2 * frames * (t + 2) * wp * c * 2 for c in cins)
+        out = 2 * frames * t * wp * d * 2
+        res = out if has_res else 0
+        yc = frames * t * w * d * 2
+        acc = frames * t * w * d * 4
+        ftmp = (t + 2) * wp * max(cins) * 4 + t * w * d * 4
+        return weights + win + out + res + yc + acc + ftmp
+
+    best = 0
+    for t in range(1, h + 1):
+        if h % t == 0 and cost(t) <= budget_bytes:
+            best = max(best, t)
+    if best * w < 256:
+        return 0
+    return best
+
+
+def fused_conv_tconv_padded(
+    parts,
+    kbias: jax.Array,
+    tkernel: jax.Array,
+    tbias: jax.Array,
+    hw: Tuple[int, int],
+    emb: Optional[jax.Array] = None,
+    residual: Optional[jax.Array] = None,
+    silu: bool = True,
+    want_stats: bool = False,
+    tile_h: Optional[int] = None,
+    interpret: bool = False,
+):
+    """The whole padded-stream PseudoConv3d in ONE kernel: multi-part
+    affine+SiLU 3x3 conv -> 3-tap temporal conv -> + bias/emb/residual,
+    with exact interior GroupNorm statistics. Parts are (x, kernel, a, b)
+    with x (B, F, Hp, Wp, C_i); returns (B, F, Hp, Wp, D) padded stream
+    [, stats (B, F, 2, D)]. The intermediate conv activation never exists
+    in HBM (saves one full write + read per call vs the two-kernel form).
+    """
+    h, w = hw
+    hp, wp = padded_hw(h, w)
+    b, frames = parts[0][0].shape[:2]
+    d = parts[0][1].shape[-1]
+    for x, kernel, a, b_ in parts:
+        if x.shape[2] != hp or x.shape[3] != wp:
+            raise ValueError(f"part shape {x.shape} vs padded ({hp},{wp})")
+        if a is None or b_ is None:
+            raise ValueError("padded-stream conv requires the affine")
+    cins = [x.shape[-1] for x, *_ in parts]
+    tp = tile_h or conv_tconv_band_rows(
+        h, w, wp, cins, d, frames, has_res=residual is not None
+    )
+    if not tp:
+        raise ValueError("mega-kernel not viable at this shape; gate with "
+                         "conv_tconv_band_rows before calling")
+    if h % tp:
+        raise ValueError(f"tile_h {tp} must divide H={h}")
+
+    from jax._src.pallas import core as _pc
+
+    E = _pc.Element
+    dtype = parts[0][0].dtype
+
+    def win_idx(bb, i):
+        return (bb, 0, i * tp, 0, 0)
+
+    def out_idx(bb, i):
+        return (bb, 0, 1 + i * tp, 0, 0)
+
+    in_specs = []
+    args = []
+    for x, kernel, a, b_ in parts:
+        c = x.shape[-1]
+        in_specs.append(
+            pl.BlockSpec((E(1), E(frames), E(tp + 2), E(wp), E(c)), win_idx)
+        )
+        args.append(x)
+        in_specs.append(
+            pl.BlockSpec((b * frames, c), lambda bb, i: (0, 0))
+        )
+        args.append(a.astype(jnp.float32))
+        in_specs.append(
+            pl.BlockSpec((b * frames, c), lambda bb, i: (0, 0))
+        )
+        args.append(b_.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((9 * c, d), lambda bb, i: (0, 0)))
+        args.append(kernel.astype(dtype).reshape(9 * c, d))
+    in_specs.append(pl.BlockSpec((1, d), lambda bb, i: (0, 0)))
+    args.append(kbias.reshape(1, d))
+    in_specs.append(pl.BlockSpec((3 * d, d), lambda bb, i: (0, 0)))
+    args.append(tkernel.reshape(3 * d, d).astype(dtype))
+    in_specs.append(pl.BlockSpec((1, d), lambda bb, i: (0, 0)))
+    args.append(tbias.reshape(1, d))
+    if emb is not None:
+        in_specs.append(pl.BlockSpec((b, d), lambda bb, i: (0, 0)))
+        args.append(emb.reshape(b, d))
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((E(1), E(frames), E(tp), E(wp), E(d)), out_idx)
+        )
+        args.append(residual)
+
+    out_shapes = [jax.ShapeDtypeStruct((b, frames, hp, wp, d), dtype)]
+    out_specs = [
+        pl.BlockSpec((E(1), E(frames), E(tp), E(wp), E(d)), out_idx)
+    ]
+    if want_stats:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, frames, 2, d), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, frames, 2, d), lambda bb, i: (bb, 0, 0, 0))
+        )
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _conv_tconv_kernel, tp=tp, h=h, w=w, wp=wp, cins=tuple(cins),
+            d=d, frames=frames, silu=silu, has_emb=emb is not None,
+            has_res=residual is not None, want_stats=want_stats,
+        ),
+        grid=(b, h // tp),
+        in_specs=in_specs,
+        out_specs=out_specs if want_stats else out_specs[0],
+        out_shape=out_shapes if want_stats else out_shapes[0],
+        interpret=interpret,
+    )(*args)
+    return outs
 
 
 # -- spatial 3x3 conv ---------------------------------------------------------
