@@ -730,6 +730,40 @@ def main():
             video_unet.PERF_SKIP1X1_DOT = False
             video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
             continue
+        if name == "fused_stream":
+            # padded + upconv + frame-streaming mega-kernel
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = defaults[0]
+            video_unet.PERF_SKIP1X1_DOT = defaults[1]
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = defaults[2]
+            video_unet.PERF_PADDED_STREAM = True
+            video_unet.PERF_MEGA_KERNEL = True
+            video_unet.PERF_UPCONV = True
+            video_unet.PERF_STREAM_KERNEL = True
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_STREAM_KERNEL = False
+            video_unet.PERF_UPCONV = False
+            video_unet.PERF_MEGA_KERNEL = False
+            video_unet.PERF_PADDED_STREAM = False
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_SKIP1X1_DOT = False
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
+            continue
+        if name == "fused_upconv":
+            # padded + mega + collapsed-parity upsample convs
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = defaults[0]
+            video_unet.PERF_SKIP1X1_DOT = defaults[1]
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = defaults[2]
+            video_unet.PERF_PADDED_STREAM = True
+            video_unet.PERF_MEGA_KERNEL = True
+            video_unet.PERF_UPCONV = True
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_UPCONV = False
+            video_unet.PERF_MEGA_KERNEL = False
+            video_unet.PERF_PADDED_STREAM = False
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_SKIP1X1_DOT = False
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
+            continue
         if name == "fused_padded":
             # shipped defaults + the padded-stream layout (L0-L2 pads
             # eliminated; see PERF_PADDED_STREAM)

@@ -582,6 +582,133 @@ def test_fused_conv_tconv_padded_matches_two_kernel_path():
     assert np.abs(cols).max() == 0.0
 
 
+def test_fused_upconv3x3_padded_matches_resize_conv():
+    """The collapsed 4-parity upsample conv == nearest-2x then SAME conv,
+    including the hi-res zero halo reproduced from masked lo pads."""
+    from flax import linen as nn
+    from v2a_tpu.ops.resblock_kernels import (
+        fused_upconv3x3_padded, padded_hw,
+    )
+
+    rs = np.random.RandomState(6)
+    n, h, w, c, d = 3, 8, 8, 8, 16
+    hp, wp = padded_hw(h, w)
+    x = rs.randn(n, h, w, c).astype(np.float32)
+    xp = np.zeros((n, hp, wp, c), np.float32)
+    xp[:, 0] = 7.0
+    xp[:, -1] = -7.0  # garbage pad rows
+    xp[:, 1:h + 1, 1:w + 1] = x
+    k = (rs.randn(3, 3, c, d) * 0.1).astype(np.float32)
+    bias = (rs.randn(d) * 0.1).astype(np.float32)
+
+    xu = np.repeat(np.repeat(x, 2, axis=1), 2, axis=2)
+    ref = nn.Conv(d, (3, 3), padding=1).apply(
+        {"params": {"kernel": jnp.asarray(k), "bias": jnp.asarray(bias)}},
+        jnp.asarray(xu),
+    )
+    for tl in (2, 4):
+        got = fused_upconv3x3_padded(
+            jnp.asarray(xp), jnp.asarray(k), jnp.asarray(bias), (h, w),
+            tile_h=tl, interpret=True,
+        )
+        gi = np.asarray(got)[:, 1:2 * h + 1, 1:2 * w + 1]
+        np.testing.assert_allclose(gi, np.asarray(ref), atol=1e-4)
+        cols = np.asarray(got)[:, 1:2 * h + 1].copy()
+        cols[:, :, 1:2 * w + 1] = 0
+        assert np.abs(cols).max() == 0.0
+
+
+def test_video_unet_upconv_matches_default():
+    """PERF_UPCONV routes the padded Upsample convs through the collapsed
+    parity kernel inside the full model — must match the plain path."""
+    from v2a_tpu.models import video_unet
+    from v2a_tpu.models.video_unet import VideoUNet
+
+    kw = dict(
+        in_channels=6, model_channels=128, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=32,
+        task_token_dim=64,
+    )
+    rs = np.random.RandomState(17)
+    x = jnp.asarray(rs.randn(1, 2, 32, 32, 6), jnp.float32)
+    t = jnp.asarray([9], jnp.int32)
+    tok = jnp.asarray(rs.randn(1, 4, 64), jnp.float32)
+
+    base = VideoUNet(**kw)
+    params = base.init(jax.random.PRNGKey(0), x, t, tok)
+    out0 = base.apply(params, x, t, tok)
+    saved = (
+        video_unet.PERF_PALLAS_SPATIAL2_MIN_CH,
+        video_unet.PERF_PALLAS_SPATIAL2_MAX_S,
+        video_unet.PERF_PADDED_STREAM,
+        video_unet.PERF_UPCONV,
+    )
+    video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 128
+    video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 16384
+    video_unet.PERF_PADDED_STREAM = True
+    video_unet.PERF_UPCONV = True
+    try:
+        out1 = VideoUNet(fused=True, **kw).apply(params, x, t, tok)
+    finally:
+        (
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH,
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S,
+            video_unet.PERF_PADDED_STREAM,
+            video_unet.PERF_UPCONV,
+        ) = saved
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_fused_conv_tconv_stream_matches_mega():
+    """The frame-streaming mega-kernel (frame axis on the grid, 3-slot
+    conv ring in persistent scratch) must match the all-frames form."""
+    from v2a_tpu.ops.resblock_kernels import (
+        fused_conv_tconv_padded, fused_conv_tconv_stream, padded_hw,
+    )
+
+    rs = np.random.RandomState(4)
+    b, f, h, w, d = 2, 4, 8, 8, 16
+    cins = [8, 16]
+    hp, wp = padded_hw(h, w)
+    parts = []
+    for ci in cins:
+        x = np.zeros((b, f, hp, wp, ci), np.float32)
+        x[:, :, 0] = 3.3
+        x[:, :, -1] = -2.2
+        x[:, :, 1:h + 1, 1:w + 1] = rs.randn(b, f, h, w, ci)
+        k = (rs.randn(3, 3, ci, d) * 0.1).astype(np.float32)
+        a = (1 + 0.1 * rs.randn(b * f, ci)).astype(np.float32)
+        bb = (0.1 * rs.randn(b * f, ci)).astype(np.float32)
+        parts.append((jnp.asarray(x), jnp.asarray(k), jnp.asarray(a),
+                      jnp.asarray(bb)))
+    kbias = jnp.asarray(rs.randn(d).astype(np.float32) * 0.1)
+    tk = jnp.asarray((rs.randn(3, d, d) * 0.2).astype(np.float32))
+    tb = jnp.asarray((rs.randn(d) * 0.1).astype(np.float32))
+    emb = jnp.asarray((rs.randn(b, d) * 0.5).astype(np.float32))
+    res = np.zeros((b, f, hp, wp, d), np.float32)
+    res[:, :, 0] = 9.9
+    res[:, :, 1:h + 1, 1:w + 1] = rs.randn(b, f, h, w, d)
+    res = jnp.asarray(res)
+
+    want, wstats = fused_conv_tconv_padded(
+        parts, kbias, tk, tb, (h, w), emb=emb, residual=res, silu=True,
+        want_stats=True, interpret=True, tile_h=4,
+    )
+    got, gstats = fused_conv_tconv_stream(
+        parts, kbias, tk, tb, (h, w), emb=emb, residual=res, silu=True,
+        want_stats=True, interpret=True, tile_h=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, 1:h + 1, 1:w + 1],
+        np.asarray(want)[:, :, 1:h + 1, 1:w + 1], atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gstats), np.asarray(wstats), rtol=1e-5, atol=1e-4
+    )
+
+
 def test_temporal_conv_fused_hw_matches_reference():
     from v2a_tpu.ops.resblock_kernels import (
         temporal_conv_fused_hw, temporal_conv_reference,

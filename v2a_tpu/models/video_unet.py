@@ -103,6 +103,15 @@ PERF_PADDED_STREAM = os.environ.get("V2A_PADDED_STREAM", "1") == "1"
 # conv activation never round-trips HBM. Requires PERF_PADDED_STREAM.
 # Measured 155.3 vs 158.7 ms/fwd (PERF.md round 2c); on by default.
 PERF_MEGA_KERNEL = os.environ.get("V2A_MEGA_KERNEL", "1") == "1"
+# Upsample convs as the collapsed 4-parity low-res conv
+# (`fused_upconv3x3_padded`): 44% of the FLOPs and the 2x-upsampled
+# activation never exists in HBM. Requires PERF_PADDED_STREAM.
+# Measured 143.8 vs 154.0 ms/fwd (PERF.md round 2c); on by default.
+PERF_UPCONV = os.environ.get("V2A_UPCONV", "1") == "1"
+# Frame-streaming form of the mega-kernel (frame axis on the grid, 3-slot
+# conv-output ring in persistent scratch): one frame's window in VMEM at
+# a time, so bands grow 4x and the conv dots hit full MXU tiles.
+PERF_STREAM_KERNEL = os.environ.get("V2A_STREAM_KERNEL", "0") == "1"
 
 
 class PaddedStream:
@@ -413,12 +422,17 @@ class PseudoConv3d(nn.Module):
         residual: Optional[jax.Array] = None,
         want_stats: bool = False,
         pre_affine=None,
+        upsample2x: bool = False,
     ):
         k = self.kernel_size
         if isinstance(x, PaddedStream) or (
             isinstance(x, (tuple, list)) and isinstance(x[0], PaddedStream)
         ):
-            return self._padded_call(x, emb, residual, want_stats, pre_affine)
+            return self._padded_call(
+                x, emb, residual, want_stats, pre_affine, upsample2x
+            )
+        if upsample2x:
+            raise ValueError("upsample2x requires a PaddedStream input")
         if isinstance(x, (tuple, list)):
             # split formulation: conv(concat(parts)) computed as a sum of
             # per-part convs on a channel-sliced kernel — the concat never
@@ -641,7 +655,8 @@ class PseudoConv3d(nn.Module):
             return y, stats
         return y
 
-    def _padded_call(self, x, emb, residual, want_stats, pre_affine):
+    def _padded_call(self, x, emb, residual, want_stats, pre_affine,
+                     upsample2x=False):
         """Padded-stream variant (`PERF_PADDED_STREAM`): inputs/outputs are
         `PaddedStream`s, the spatial conv runs through
         `fused_affine_conv3x3_padded` (no per-conv HBM pad pass, Element
@@ -687,8 +702,41 @@ class PseudoConv3d(nn.Module):
         from v2a_tpu.ops.resblock_kernels import (
             fused_affine_conv3x3_padded,
             fused_conv_tconv_padded,
+            fused_upconv3x3_padded,
             temporal_conv_padded,
         )
+
+        if upsample2x:
+            # conv3x3(nearest_2x(x)) as the collapsed 4-parity low-res conv
+            # (44% of the FLOPs, no upsampled activation in HBM), then the
+            # padded temporal conv at the new resolution
+            if len(parts) != 1 or pre_affine is not None:
+                raise ValueError("upsample conv is single-part, no affine")
+            p = parts[0]
+            hh, ww = hw
+            kernel, kbias = _Conv2DParams(
+                feat, k, self.zero_init, name="spatial_conv"
+            )(cin)
+            y = fused_upconv3x3_padded(
+                p.x.reshape(b * f, hp, wp, cin).astype(self.dtype),
+                kernel, kbias, hw, interpret=interp,
+            )
+            hw2 = (2 * hh, 2 * ww)
+            from v2a_tpu.ops.resblock_kernels import padded_hw as _phw2
+
+            hp2, wp2 = _phw2(*hw2)
+            tkernel, tbias = _TemporalConvParams(
+                feat, k, name="temporal_conv"
+            )()
+            out = temporal_conv_padded(
+                y.reshape(b, f, hp2, wp2, feat).astype(self.dtype),
+                tkernel, tbias, hw2, emb=emb, residual=None,
+                want_stats=want_stats, interpret=interp,
+            )
+            if want_stats:
+                yt, stats = out
+                return PaddedStream(yt, hw2), stats
+            return PaddedStream(out, hw2)
 
         kernel, kbias = _Conv2DParams(
             feat, k, self.zero_init, name="spatial_conv"
@@ -723,8 +771,23 @@ class PseudoConv3d(nn.Module):
             feat, k, name="temporal_conv"
         )()
         from v2a_tpu.ops.resblock_kernels import (
-            conv_tconv_band_rows, padded_hw as _phw,
+            conv_tconv_band_rows, fused_conv_tconv_stream, padded_hw as _phw,
+            stream_band_rows,
         )
+
+        if PERF_STREAM_KERNEL and stream_band_rows(
+            hw[0], hw[1], _phw(*hw)[1], [p.x.shape[-1] for p in parts], feat,
+        ) > 0:
+            out = fused_conv_tconv_stream(
+                mparts, kbias, tkernel, tbias, hw, emb=emb,
+                residual=residual.x if residual is not None else None,
+                silu=pre is not None, want_stats=want_stats,
+                interpret=interp,
+            )
+            if want_stats:
+                yt, stats = out
+                return PaddedStream(yt, hw), stats
+            return PaddedStream(out, hw)
 
         mega_ok = PERF_MEGA_KERNEL and conv_tconv_band_rows(
             hw[0], hw[1], _phw(*hw)[1], [p.x.shape[-1] for p in parts],
@@ -1184,6 +1247,14 @@ class Upsample3D(nn.Module):
         self, x: jax.Array, want_stats: bool = False,
         padded_out: bool = False,
     ):
+        if padded_out and PERF_UPCONV:
+            # collapsed-parity upsample conv: reads the LOW-RES stream
+            if not isinstance(x, PaddedStream):
+                x = pad_stream(x)
+            return PseudoConv3d(
+                self.features, 3, dtype=self.dtype, fused=self.fused,
+                name="conv",
+            )(x, want_stats=want_stats, upsample2x=True)
         if isinstance(x, PaddedStream):
             x = unpad_stream(x)
         b, f, h, w, c = x.shape

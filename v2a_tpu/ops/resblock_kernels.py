@@ -613,16 +613,22 @@ def spatial2_band_rows(h: int, w: int, c: int, d: int,
 
 
 def spatial2_group(n: int, h: int, w: int, c: int,
-                   budget_bytes: int = 5 * 1024 * 1024) -> int:
-    """Frames per block: the largest divisor of n with M = g*h*w <= 1024 and
-    the (g*h*w, 9c) im2col scratch within budget."""
+                   budget_bytes: int = 15 * 1024 * 1024) -> int:
+    """Frames per block: the largest divisor of n with M = g*h*w <= 1024
+    and the working set — (9C, D~C) weights (7.4 MB alone at 640ch),
+    im2col scratch, double-buffered IO — within budget."""
+    weights = 9 * c * c * 2
+    wp = (w + 9) // 8 * 8
     group = 1
     for cand in (2, 4, 7, 8, 14):
         if n % cand:
             continue
         if cand * h * w > 1024:
             break
-        if cand * h * w * 9 * c * 2 > budget_bytes:
+        scratch = cand * h * w * 9 * c * 2
+        io = 2 * cand * (h + 2) * wp * c * 2 * 2
+        xf32 = cand * (h + 2) * wp * c * 4
+        if weights + scratch + io + xf32 > budget_bytes:
             break
         group = cand
     return group
@@ -1094,6 +1100,196 @@ def temporal_conv_padded(
     return outs
 
 
+# -- padded-stream fused 2x-upsample + 3x3 conv ------------------------------
+#
+# conv3x3(nearest_upsample_2x(x)) collapses to FOUR parity convs over the
+# LOW-RES input with 2x2-tap kernels (sums of adjacent taps): output hi
+# row r = 2u+p+1 reads upsampled rows that map to lo rows {u, u+1} (p=0)
+# or {u+1, u+2} (p=1), and likewise for columns. 4 parities x 4 taps =
+# 16 (C, D) dots per band vs 9 at 4x the positions — 44% of the FLOPs,
+# 1/4 of the input reads, and the upsampled activation (plus its XLA
+# broadcast+pad passes) never exists in HBM. Parity assembly: columns
+# stack + (W_lo, 2)->sublane merge reshape (verified supported by Mosaic
+# for f32), rows merge on the outer dim.
+
+
+def _upconv_kernel(
+    *refs, tpl, h_lo, w_lo, wp_lo, wp_hi, cin, d, silu, has_affine,
+):
+    x_ref = refs[0]
+    idx = 1
+    a_ref = b_ref = None
+    if has_affine:
+        a_ref = refs[idx]; idx += 1
+        b_ref = refs[idx]; idx += 1
+    w_ref = refs[idx]; idx += 1   # (16*C, D): [p][p'][a][b] tap blocks
+    bias_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]
+
+    nn_ = pl.program_id(0)
+    i = pl.program_id(1)
+    x = x_ref[0]  # (tpl+2, Wp_lo, C)
+    xf = x.astype(jnp.float32)
+    if has_affine:
+        n_rows = a_ref.shape[0]
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1) == nn_
+        ).astype(jnp.float32)
+        av = jax.lax.dot_general(
+            sel, a_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]
+        bv = jax.lax.dot_general(
+            sel, b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]
+        xf = xf * av[None, None, :] + bv[None, None, :]
+        if silu:
+            xf = xf * jax.nn.sigmoid(xf)
+    # mask in LO padded coordinates (garbage pad rows -> exact zeros,
+    # which reproduces the hi-res SAME-conv zero halo)
+    rr = (
+        jax.lax.broadcasted_iota(jnp.int32, (tpl + 2, wp_lo, 1), 0)
+        + i * tpl
+    )
+    cc = jax.lax.broadcasted_iota(jnp.int32, (tpl + 2, wp_lo, 1), 1)
+    keep = (rr >= 1) & (rr <= h_lo) & (cc >= 1) & (cc <= w_lo)
+    xb = jnp.where(keep, xf, 0.0).astype(x_ref.dtype)
+
+    bias = bias_ref[0].astype(jnp.float32)[None, :]
+    rows_hi = []
+    for p in range(2):
+        cols = []
+        for pp in range(2):
+            acc = None
+            for a in range(2):
+                r0 = a + (1 if p else 0)
+                sh = xb[r0:r0 + tpl]
+                for b_ in range(2):
+                    c0 = b_ + (1 if pp else 0)
+                    xs = sh[:, c0:c0 + w_lo, :].reshape(tpl * w_lo, cin)
+                    t = ((p * 2 + pp) * 2 + a) * 2 + b_
+                    part = jax.lax.dot_general(
+                        xs, w_ref[t * cin:(t + 1) * cin],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
+            cols.append((acc + bias).reshape(tpl, w_lo, 1, d))
+        yrow = jnp.concatenate(cols, axis=2).reshape(tpl, 2 * w_lo, d)
+        rows_hi.append(yrow.reshape(tpl, 1, 2 * w_lo, d))
+    y = jnp.concatenate(rows_hi, axis=1).reshape(2 * tpl, 2 * w_lo, d)
+    yp = jnp.concatenate(
+        [
+            jnp.zeros((2 * tpl, 1, d), jnp.float32),
+            y,
+            jnp.zeros((2 * tpl, wp_hi - 2 * w_lo - 1, d), jnp.float32),
+        ],
+        axis=1,
+    )
+    o_ref[0] = yp.astype(o_ref.dtype)
+
+
+def upconv_band_rows(h_lo: int, wp_lo: int, c: int, d: int,
+                     budget_bytes: int = 6 * 1024 * 1024) -> int:
+    """Low-res rows per band for the fused upsample-conv."""
+    def cost(t):
+        win = 2 * (t + 2) * wp_lo * c * 2
+        out = 2 * 2 * t * 2 * wp_lo * d * 2
+        acc = 2 * t * 2 * wp_lo * d * 4
+        return win + out + acc + 16 * c * d * 2
+    best = 1
+    for t in range(1, h_lo + 1):
+        if h_lo % t == 0 and cost(t) <= budget_bytes:
+            best = max(best, t)
+    return best
+
+
+def fused_upconv3x3_padded(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    hw_lo: Tuple[int, int],
+    a: Optional[jax.Array] = None,
+    b: Optional[jax.Array] = None,
+    silu: bool = False,
+    tile_h: Optional[int] = None,
+    interpret: bool = False,
+):
+    """y = conv3x3_same(nearest_upsample_2x(x)) on padded streams.
+
+    Args:
+      x: (N, Hp_lo, Wp_lo, C) LOW-RES padded stream (garbage pad rows OK).
+      kernel: (3, 3, C, D); bias (D,); a/b optional per-(N, C) affine.
+      hw_lo: low-res interior (H_lo, W_lo).
+    Returns (N, Hp_hi, Wp_hi, D) padded stream at (2*H_lo, 2*W_lo):
+    interior + zero pad cols written, pad rows unwritten.
+    """
+    h_lo, w_lo = hw_lo
+    hp_lo, wp_lo = padded_hw(h_lo, w_lo)
+    hp_hi, wp_hi = padded_hw(2 * h_lo, 2 * w_lo)
+    n, c = x.shape[0], x.shape[-1]
+    d = kernel.shape[-1]
+    if x.shape[1] != hp_lo or x.shape[2] != wp_lo:
+        raise ValueError(f"x {x.shape} vs padded lo ({hp_lo},{wp_lo})")
+    tpl = tile_h or upconv_band_rows(h_lo, wp_lo, c, d)
+    if h_lo % tpl:
+        raise ValueError(f"tile_h {tpl} must divide H_lo={h_lo}")
+
+    # collapsed 2x2 parity kernels: K_lo[p][pp][a][b] = sum of the 3x3
+    # taps that land on lo offset (a, b) for output parity (p, pp)
+    rows_sel = [[(0,), (1, 2)], [(0, 1), (2,)]]
+    k_blocks = []
+    for p in range(2):
+        for pp in range(2):
+            for a_ in range(2):
+                for b_ in range(2):
+                    kk = None
+                    for di in rows_sel[p][a_]:
+                        for dj in rows_sel[pp][b_]:
+                            t = kernel[di, dj]
+                            kk = t if kk is None else kk + t
+                    k_blocks.append(kk)
+    w2d = jnp.concatenate(k_blocks, axis=0).astype(x.dtype)  # (16C, D)
+
+    from jax._src.pallas import core as _pc
+
+    E = _pc.Element
+    has_affine = a is not None
+
+    in_specs = [
+        pl.BlockSpec(
+            (E(1), E(tpl + 2), E(wp_lo), E(c)),
+            lambda nn_, i: (nn_, i * tpl, 0, 0),
+        )
+    ]
+    args = [x]
+    if has_affine:
+        in_specs.append(pl.BlockSpec((n, c), lambda nn_, i: (0, 0)))
+        args.append(a.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((n, c), lambda nn_, i: (0, 0)))
+        args.append(b.astype(jnp.float32))
+    in_specs.append(pl.BlockSpec((16 * c, d), lambda nn_, i: (0, 0)))
+    args.append(w2d)
+    in_specs.append(pl.BlockSpec((1, d), lambda nn_, i: (0, 0)))
+    args.append(bias.reshape(1, d))
+
+    return pl.pallas_call(
+        functools.partial(
+            _upconv_kernel, tpl=tpl, h_lo=h_lo, w_lo=w_lo, wp_lo=wp_lo,
+            wp_hi=wp_hi, cin=c, d=d, silu=silu, has_affine=has_affine,
+        ),
+        grid=(n, h_lo // tpl),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (E(1), E(2 * tpl), E(wp_hi), E(d)),
+            lambda nn_, i: (nn_, 1 + i * 2 * tpl, 0, 0),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, hp_hi, wp_hi, d), x.dtype),
+        interpret=interpret,
+    )(*args)
+
+
 # -- padded-stream fused spatial conv + temporal conv (mega-kernel) ----------
 
 
@@ -1361,6 +1557,268 @@ def fused_conv_tconv_padded(
         in_specs=in_specs,
         out_specs=out_specs if want_stats else out_specs[0],
         out_shape=out_shapes if want_stats else out_shapes[0],
+        interpret=interpret,
+    )(*args)
+    return outs
+
+
+# -- padded-stream frame-streaming conv+tconv --------------------------------
+#
+# The all-frames mega-kernel caps the band at tp=4 (every frame's window
+# lives in VMEM at once) which starves the MXU (M = tp*W = 512 at L0).
+# The streaming variant adds the frame axis to the GRID and keeps a
+# 3-slot ring of conv outputs in persistent scratch: step (b, i, f)
+# convolves frame f into ring[f%3] and emits the temporal output for
+# frame f-1 — one frame's window in VMEM at a time, so tp grows 4x and
+# the conv dots hit full MXU tiles.
+
+
+def _conv_tconv_stream_kernel(
+    *refs, tp, h, w, wp, cins, d, frames, silu, has_emb, has_res,
+    want_stats,
+):
+    n_parts = len(cins)
+    idx = 0
+    x_refs, a_refs, b_refs, w_refs = [], [], [], []
+    for _ in range(n_parts):
+        x_refs.append(refs[idx]); idx += 1
+        a_refs.append(refs[idx]); idx += 1
+        b_refs.append(refs[idx]); idx += 1
+        w_refs.append(refs[idx]); idx += 1
+    kb_ref = refs[idx]; idx += 1
+    tw_ref = refs[idx]; idx += 1
+    tb_ref = refs[idx]; idx += 1
+    e_ref = res_ref = None
+    if has_emb:
+        e_ref = refs[idx]; idx += 1
+    if has_res:
+        res_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1
+    if want_stats:
+        stats_ref = refs[idx]; idx += 1
+    ring = refs[idx]  # scratch (3, tp, W, D) in o_ref.dtype
+
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    f = pl.program_id(2)
+
+    @pl.when(f < frames)
+    def _():
+        rr = (
+            jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 0) + i * tp
+        )
+        cc = jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 1)
+        keep = (rr >= 1) & (rr <= h) & (cc >= 1) & (cc <= w)
+        acc = None
+        for pi in range(n_parts):
+            c = cins[pi]
+            x = x_refs[pi][0, 0]  # (tp+2, Wp, C) — frame f's window
+            n_rows = a_refs[pi].shape[0]
+            sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1)
+                == bb * frames + f
+            ).astype(jnp.float32)
+            av = jax.lax.dot_general(
+                sel, a_refs[pi][:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]
+            bv = jax.lax.dot_general(
+                sel, b_refs[pi][:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]
+            xf = x.astype(jnp.float32) * av[None, None, :] + bv[None, None, :]
+            if silu:
+                xf = xf * jax.nn.sigmoid(xf)
+            xb = jnp.where(keep, xf, 0.0).astype(x_refs[pi].dtype)
+            for dj in range(3):
+                sh = xb[:, dj:dj + w, :]
+                for di in range(3):
+                    t = di * 3 + dj
+                    xs = sh[di:di + tp].reshape(tp * w, c)
+                    part = jax.lax.dot_general(
+                        xs, w_refs[pi][t * c:(t + 1) * c],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
+        yf = acc + kb_ref[0].astype(jnp.float32)[None, :]
+        ring[f % 3] = yf.reshape(tp, w, d).astype(o_ref.dtype)
+
+    @pl.when(f >= 1)
+    def _():
+        # temporal mix for frame f-1: taps f-2 / f-1 / f. Missing
+        # neighbours select to zero (jnp.where — NaN-safe against the
+        # ring's uninitialized first-band slots).
+        cur = ring[(f - 1) % 3]
+        prev = jnp.where(f >= 2, ring[(f + 1) % 3], 0.0)  # (f-2) % 3
+        nxt = jnp.where(f <= frames - 1, ring[f % 3], 0.0)
+        w0, w1, w2 = tw_ref[:d], tw_ref[d:2 * d], tw_ref[2 * d:]
+
+        def tap(xs, wt):
+            return jax.lax.dot_general(
+                xs.reshape(tp * w, d), wt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        y = tap(cur, w1) + tap(prev, w0) + tap(nxt, w2)
+        tbias = tb_ref[0].astype(jnp.float32)
+        if has_emb:
+            nb = e_ref.shape[0]
+            sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) == bb
+            ).astype(jnp.float32)
+            e = jax.lax.dot_general(
+                sel, e_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            tbias = tbias + e[0]
+        y = y + tbias[None, :]
+        y = y.reshape(tp, w, d)
+        if has_res:
+            y = y + res_ref[0, 0][:, 1:w + 1, :].astype(jnp.float32)
+        y16 = y.astype(o_ref.dtype)
+        yp = jnp.concatenate(
+            [
+                jnp.zeros((tp, 1, d), jnp.float32),
+                y,
+                jnp.zeros((tp, wp - w - 1, d), jnp.float32),
+            ],
+            axis=1,
+        )
+        o_ref[0, 0] = yp.astype(o_ref.dtype)
+        if want_stats:
+            yf32 = y16.astype(jnp.float32)
+            row = jnp.stack(
+                [jnp.sum(yf32, axis=(0, 1)), jnp.sum(yf32 * yf32, axis=(0, 1))],
+                axis=0,
+            )  # (2, D)
+
+            @pl.when(i == 0)
+            def _():
+                stats_ref[0, f - 1] = row
+
+            @pl.when(i > 0)
+            def _():
+                stats_ref[0, f - 1] = stats_ref[0, f - 1] + row
+
+
+def stream_band_rows(h: int, w: int, wp: int, cins, d: int,
+                     budget_bytes: int = 11 * 1024 * 1024) -> int:
+    """Band size for the streaming mega-kernel: ONE frame's window in
+    VMEM plus the 3-slot ring."""
+    weights = sum(9 * c * d * 2 for c in cins) + 3 * d * d * 2
+
+    def cost(t):
+        win = sum(2 * (t + 2) * wp * c * 2 for c in cins)
+        ring3 = 3 * t * w * d * 2
+        out = 2 * t * wp * d * 2
+        res = out
+        acc = t * w * d * 4
+        ftmp = (t + 2) * wp * max(cins) * 4
+        return weights + win + ring3 + out + res + acc + ftmp
+
+    best = 0
+    for t in range(1, h + 1):
+        if h % t == 0 and cost(t) <= budget_bytes:
+            best = max(best, t)
+    if best * w < 256:
+        return 0
+    return best
+
+
+def fused_conv_tconv_stream(
+    parts,
+    kbias: jax.Array,
+    tkernel: jax.Array,
+    tbias: jax.Array,
+    hw: Tuple[int, int],
+    emb: Optional[jax.Array] = None,
+    residual: Optional[jax.Array] = None,
+    silu: bool = True,
+    want_stats: bool = False,
+    tile_h: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Frame-streaming form of `fused_conv_tconv_padded` (same contract)."""
+    h, w = hw
+    hp, wp = padded_hw(h, w)
+    b, frames = parts[0][0].shape[:2]
+    d = parts[0][1].shape[-1]
+    cins = [x.shape[-1] for x, *_ in parts]
+    tp = tile_h or stream_band_rows(h, w, wp, cins, d)
+    if not tp:
+        raise ValueError("streaming mega-kernel not viable at this shape")
+    if h % tp:
+        raise ValueError(f"tile_h {tp} must divide H={h}")
+
+    from jax._src.pallas import core as _pc
+
+    E = _pc.Element
+    dtype = parts[0][0].dtype
+
+    def win_idx(bb, i, f):
+        return (bb, jnp.minimum(f, frames - 1), i * tp, 0, 0)
+
+    def out_idx(bb, i, f):
+        return (bb, jnp.maximum(f - 1, 0), 1 + i * tp, 0, 0)
+
+    in_specs = []
+    args = []
+    for x, kernel, a, b_ in parts:
+        c = x.shape[-1]
+        in_specs.append(
+            pl.BlockSpec((E(1), E(1), E(tp + 2), E(wp), E(c)), win_idx)
+        )
+        args.append(x)
+        in_specs.append(
+            pl.BlockSpec((b * frames, c), lambda bb, i, f: (0, 0))
+        )
+        args.append(a.astype(jnp.float32))
+        in_specs.append(
+            pl.BlockSpec((b * frames, c), lambda bb, i, f: (0, 0))
+        )
+        args.append(b_.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((9 * c, d), lambda bb, i, f: (0, 0)))
+        args.append(kernel.astype(dtype).reshape(9 * c, d))
+    in_specs.append(pl.BlockSpec((1, d), lambda bb, i, f: (0, 0)))
+    args.append(kbias.reshape(1, d))
+    in_specs.append(pl.BlockSpec((3 * d, d), lambda bb, i, f: (0, 0)))
+    args.append(tkernel.reshape(3 * d, d).astype(dtype))
+    in_specs.append(pl.BlockSpec((1, d), lambda bb, i, f: (0, 0)))
+    args.append(tbias.reshape(1, d))
+    if emb is not None:
+        in_specs.append(pl.BlockSpec((b, d), lambda bb, i, f: (0, 0)))
+        args.append(emb.reshape(b, d))
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((E(1), E(1), E(tp), E(wp), E(d)), out_idx)
+        )
+        args.append(residual)
+
+    out_shapes = [jax.ShapeDtypeStruct((b, frames, hp, wp, d), dtype)]
+    out_specs = [
+        pl.BlockSpec((E(1), E(1), E(tp), E(wp), E(d)), out_idx)
+    ]
+    if want_stats:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, frames, 2, d), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, frames, 2, d), lambda bb, i, f: (bb, 0, 0, 0))
+        )
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _conv_tconv_stream_kernel, tp=tp, h=h, w=w, wp=wp,
+            cins=tuple(cins), d=d, frames=frames, silu=silu,
+            has_emb=emb is not None, has_res=residual is not None,
+            want_stats=want_stats,
+        ),
+        grid=(b, h // tp, frames + 1),
+        in_specs=in_specs,
+        out_specs=out_specs if want_stats else out_specs[0],
+        out_shape=out_shapes if want_stats else out_shapes[0],
+        scratch_shapes=[pltpu.VMEM((3, tp, w, d), dtype)],
         interpret=interpret,
     )(*args)
     return outs
