@@ -361,6 +361,17 @@ def _tconv_conv2d(y, kernel, bias, emb, residual, want_stats, dtype):
     return y5
 
 
+class _SkipConvParams(nn.Module):
+    """Parameter container matching PseudoConv3d(name='skip_conv')'s
+    {spatial_conv: {kernel, bias}} tree, for the in-kernel skip fold."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin):
+        return _Conv2DParams(self.features, 1, name="spatial_conv")(cin)
+
+
 class _NormParams(nn.Module):
     """Parameter container matching GroupNorm32's {scale, bias} layout, for
     the split-skip affine application."""
@@ -423,14 +434,17 @@ class PseudoConv3d(nn.Module):
         want_stats: bool = False,
         pre_affine=None,
         upsample2x: bool = False,
+        skip=None,
     ):
         k = self.kernel_size
         if isinstance(x, PaddedStream) or (
             isinstance(x, (tuple, list)) and isinstance(x[0], PaddedStream)
         ):
             return self._padded_call(
-                x, emb, residual, want_stats, pre_affine, upsample2x
+                x, emb, residual, want_stats, pre_affine, upsample2x, skip
             )
+        if skip is not None:
+            raise ValueError("skip folding is a padded-stream feature")
         if upsample2x:
             raise ValueError("upsample2x requires a PaddedStream input")
         if isinstance(x, (tuple, list)):
@@ -656,7 +670,7 @@ class PseudoConv3d(nn.Module):
         return y
 
     def _padded_call(self, x, emb, residual, want_stats, pre_affine,
-                     upsample2x=False):
+                     upsample2x=False, skip=None):
         """Padded-stream variant (`PERF_PADDED_STREAM`): inputs/outputs are
         `PaddedStream`s, the spatial conv runs through
         `fused_affine_conv3x3_padded` (no per-conv HBM pad pass, Element
@@ -775,7 +789,13 @@ class PseudoConv3d(nn.Module):
             stream_band_rows,
         )
 
-        if PERF_STREAM_KERNEL and stream_band_rows(
+        skip_cins = []
+        s_streams = s_kernel = s_bias = None
+        if skip is not None:
+            s_streams, s_kernel, s_bias = skip
+            skip_cins = [p.x.shape[-1] for p in s_streams]
+
+        if PERF_STREAM_KERNEL and skip is None and stream_band_rows(
             hw[0], hw[1], _phw(*hw)[1], [p.x.shape[-1] for p in parts], feat,
         ) > 0:
             out = fused_conv_tconv_stream(
@@ -791,12 +811,23 @@ class PseudoConv3d(nn.Module):
 
         mega_ok = PERF_MEGA_KERNEL and conv_tconv_band_rows(
             hw[0], hw[1], _phw(*hw)[1], [p.x.shape[-1] for p in parts],
-            feat, f, has_res=residual is not None,
+            feat, f, has_res=residual is not None, skip_cins=skip_cins,
         ) > 0
         if mega_ok:
+            skip_parts = None
+            if skip is not None:
+                skip_parts = []
+                off = 0
+                for p in s_streams:
+                    pc = p.x.shape[-1]
+                    skip_parts.append(
+                        (p.x.astype(self.dtype), s_kernel[off:off + pc])
+                    )
+                    off += pc
             out = fused_conv_tconv_padded(
                 mparts, kbias, tkernel, tbias, hw, emb=emb,
                 residual=residual.x if residual is not None else None,
+                skip_parts=skip_parts, skip_bias=s_bias,
                 silu=pre is not None, want_stats=want_stats,
                 interpret=interp,
             )
@@ -808,10 +839,22 @@ class PseudoConv3d(nn.Module):
         y = fused_affine_conv3x3_padded(
             kparts, kbias, hw, silu=pre is not None, interpret=interp
         )
+        tc_skip = None
+        if skip is not None:
+            # fold the 1x1 skip projection into the temporal conv
+            tc_skip = []
+            off = 0
+            for p in s_streams:
+                pc = p.x.shape[-1]
+                tc_skip.append(
+                    (p.x.astype(self.dtype), s_kernel[off:off + pc])
+                )
+                off += pc
         out = temporal_conv_padded(
             y.reshape(b, f, hp, wp, feat).astype(self.dtype),
             tkernel, tbias, hw, emb=emb,
             residual=residual.x if residual is not None else None,
+            skip_parts=tc_skip, skip_bias=s_bias if skip is not None else None,
             want_stats=want_stats, interpret=interp,
         )
         if want_stats:
@@ -1006,14 +1049,19 @@ class ResBlock3D(nn.Module):
         scale2, bias2 = _NormParams(self.out_channels, name="out_norm")()
         pre2 = stats_to_group_affine(st2, scale2, bias2, n_pc, 32)
 
+        skip_arg = None
+        res_arg = x
         if c != self.out_channels:
-            x = PseudoConv3d(
-                self.out_channels, 1, dtype=self.dtype, name="skip_conv"
-            )(x)
+            ks, bs = _SkipConvParams(
+                self.out_channels, name="skip_conv"
+            )(c)
+            skip_arg = ((x,), ks.reshape(c, self.out_channels), bs)
+            res_arg = None
         out, out_stats = PseudoConv3d(
             self.out_channels, 3, dtype=self.dtype, fused=True,
             name="out_conv",
-        )(h, residual=x, want_stats=True, pre_affine=pre2)
+        )(h, residual=res_arg, want_stats=True, pre_affine=pre2,
+          skip=skip_arg)
         return out, out_stats
 
     def _fused_split_padded(self, parts, emb, part_stats):
@@ -1062,13 +1110,12 @@ class ResBlock3D(nn.Module):
         scale2, bias2 = _NormParams(self.out_channels, name="out_norm")()
         pre2 = stats_to_group_affine(st2, scale2, bias2, n_pc, 32)
 
-        x_skip = PseudoConv3d(
-            self.out_channels, 1, dtype=self.dtype, name="skip_conv"
-        )(parts)
+        ks, bs = _SkipConvParams(self.out_channels, name="skip_conv")(c)
         out, out_stats = PseudoConv3d(
             self.out_channels, 3, dtype=self.dtype, fused=True,
             name="out_conv",
-        )(h, residual=x_skip, want_stats=True, pre_affine=pre2)
+        )(h, want_stats=True, pre_affine=pre2,
+          skip=(tuple(parts), ks.reshape(c, self.out_channels), bs))
         return out, out_stats
 
     def _fused_split(self, parts, emb, part_stats, deterministic):

@@ -759,15 +759,24 @@ def padded_hw(h: int, w: int) -> Tuple[int, int]:
 
 
 def padded_band_rows(h: int, wp: int, cins, d: int,
-                     budget_bytes: int = 6 * 1024 * 1024) -> int:
+                     budget_bytes: int = 10 * 1024 * 1024) -> int:
     """Rows per output band: the largest divisor of the INTERIOR height H
-    whose working set (per-part halo window, fp32 accumulator, padded
-    output block) fits the budget. With tp | H the (tp+2)-row input window
-    at padded-row start i*tp is always in-bounds (the padded array has
-    H+2 rows) — no clamping, no realignment pass."""
+    whose working set — the (9C, D) weight matrices (4.4 MB alone for the
+    L2 split conv; omitting them made the picker borderline against the
+    16 MB scoped vmem), double-buffered halo windows and output, the fp32
+    accumulator and per-part temporaries — fits the budget. With tp | H
+    the (tp+2)-row input window at padded-row start i*tp is always
+    in-bounds (the padded array has H+2 rows) — no clamping, no
+    realignment pass."""
+    weights = sum(9 * c * d * 2 for c in cins)
+
     def cost(t):
-        per_part = sum((t + 2) * wp * c * 2 for c in cins)
-        return per_part + t * wp * d * 6
+        win = sum(2 * (t + 2) * wp * c * 2 for c in cins)
+        out = 2 * t * wp * d * 2
+        acc = t * wp * d * 4
+        ftmp = (t + 2) * wp * max(cins) * 4
+        return weights + win + out + acc + ftmp
+
     best = 1
     for t in range(1, h + 1):
         if h % t == 0 and cost(t) <= budget_bytes:
@@ -941,7 +950,7 @@ def fused_affine_conv3x3_padded(
 
 
 def _tconv_padded_kernel(
-    *refs, frames, tr, w, wp, has_emb, has_res, want_stats,
+    *refs, frames, tr, w, wp, has_emb, has_res, skip_cins, want_stats,
 ):
     """One (sample, row-band) step of the padded-stream temporal conv:
     block (F, tr, Wp, C) of INTERIOR padded rows (Element start 1+j*tr —
@@ -958,6 +967,13 @@ def _tconv_padded_kernel(
         e_ref = refs[idx]; idx += 1
     if has_res:
         res_ref = refs[idx]; idx += 1
+    skip_refs = []
+    sb_ref = None
+    for _ in skip_cins:
+        skip_refs.append(refs[idx]); idx += 1  # (1, F, tr, Wp, C_s)
+        skip_refs.append(refs[idx]); idx += 1  # (C_s, C)
+    if skip_cins:
+        sb_ref = refs[idx]; idx += 1
     o_ref = refs[idx]; idx += 1
     stats_ref = refs[idx] if want_stats else None
 
@@ -992,6 +1008,15 @@ def _tconv_padded_kernel(
 
     y = tap(x2, w1) + tap(xm1, w0) + tap(xp1, w2)
     y = y + bias[None, :]
+    # fold the 1x1 skip projection so the projected residual never hits HBM
+    for si, cs in enumerate(skip_cins):
+        xs = skip_refs[2 * si][0].reshape(frames * m, cs)
+        y = y + jax.lax.dot_general(
+            xs, skip_refs[2 * si + 1][:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if skip_cins:
+        y = y + sb_ref[0].astype(jnp.float32)[None, :]
     y = y.reshape(frames, tr, wp, c)
     if has_res:
         y = y + res_ref[0].astype(jnp.float32)
@@ -1024,6 +1049,8 @@ def temporal_conv_padded(
     hw: Tuple[int, int],
     emb: Optional[jax.Array] = None,
     residual: Optional[jax.Array] = None,
+    skip_parts=None,
+    skip_bias: Optional[jax.Array] = None,
     want_stats: bool = False,
     interpret: bool = False,
     tile_r: Optional[int] = None,
@@ -1046,8 +1073,12 @@ def temporal_conv_padded(
     if hp != h + 2:
         raise ValueError(f"padded rows {hp} vs interior {h}")
 
+    skip_parts = skip_parts or []
+    skip_cins = [xs.shape[-1] for xs, _ in skip_parts]
     if tile_r is None:
-        max_rows = max(TCONV_TILE_BUDGET // (c * 2 * 7), 8)
+        # the skip blocks ride along at C_s channels each
+        eff_c = c + sum(skip_cins)
+        max_rows = max(TCONV_TILE_BUDGET // (eff_c * 2 * 7), 8)
         tile_r = 1
         for t in range(1, h + 1):
             if h % t == 0 and t * wp <= max_rows:
@@ -1076,6 +1107,17 @@ def temporal_conv_padded(
     if residual is not None:
         in_specs.append(spec5)
         args.append(residual)
+    for xs, ks in skip_parts:
+        cs = xs.shape[-1]
+        in_specs.append(
+            pl.BlockSpec((E(1), E(f), E(tile_r), E(wp), E(cs)), band)
+        )
+        args.append(xs)
+        in_specs.append(pl.BlockSpec((cs, c), lambda bb, j: (0, 0)))
+        args.append(ks.reshape(cs, c).astype(x.dtype))
+    if skip_parts:
+        in_specs.append(pl.BlockSpec((1, c), lambda bb, j: (0, 0)))
+        args.append(skip_bias.reshape(1, c))
 
     out_shapes = [jax.ShapeDtypeStruct((b, f, hp, wp, c), x.dtype)]
     out_specs = [spec5]
@@ -1089,7 +1131,7 @@ def temporal_conv_padded(
         functools.partial(
             _tconv_padded_kernel, frames=f, tr=tile_r, w=w, wp=wp,
             has_emb=emb is not None, has_res=residual is not None,
-            want_stats=want_stats,
+            skip_cins=tuple(skip_cins), want_stats=want_stats,
         ),
         grid=(b, h // tile_r),
         in_specs=in_specs,
@@ -1295,7 +1337,7 @@ def fused_upconv3x3_padded(
 
 def _conv_tconv_kernel(
     *refs, tp, h, w, wp, cins, d, frames, silu, has_emb, has_res,
-    want_stats,
+    skip_cins, want_stats,
 ):
     """One (sample, row-band) step of the whole PseudoConv3d: per-frame
     affine+SiLU+mask -> 3x3 conv (9 tap dots), then the 3-tap temporal mix
@@ -1317,6 +1359,13 @@ def _conv_tconv_kernel(
         e_ref = refs[idx]; idx += 1  # (B, D)
     if has_res:
         res_ref = refs[idx]; idx += 1  # (1, F, tp, Wp, D)
+    skip_refs = []
+    sb_ref = None
+    for _ in skip_cins:
+        skip_refs.append(refs[idx]); idx += 1  # (1, F, tp, Wp, C_s)
+        skip_refs.append(refs[idx]); idx += 1  # (C_s, D)
+    if skip_cins:
+        sb_ref = refs[idx]; idx += 1  # (1, D) skip-conv bias
     o_ref = refs[idx]; idx += 1
     stats_ref = refs[idx] if want_stats else None
 
@@ -1392,6 +1441,19 @@ def _conv_tconv_kernel(
 
     y = tap(x2, w1) + tap(xm1, w0) + tap(xp1, w2)
     y = y + tbias[None, :]
+    y = y.reshape(frames * tp * w, d)
+    # fold the 1x1 skip projection (sum over split parts) directly into
+    # the temporal output: the projected residual never exists in HBM
+    for si, cs in enumerate(skip_cins):
+        xs_ref = skip_refs[2 * si]
+        ks_ref = skip_refs[2 * si + 1]
+        xs = xs_ref[0][:, :, 1:w + 1, :].reshape(frames * tp * w, cs)
+        y = y + jax.lax.dot_general(
+            xs, ks_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if skip_cins:
+        y = y + sb_ref[0].astype(jnp.float32)[None, :]
     y = y.reshape(frames, tp, w, d)
     if has_res:
         y = y + res_ref[0][:, :, 1:w + 1, :].astype(jnp.float32)
@@ -1424,6 +1486,7 @@ def _conv_tconv_kernel(
 
 def conv_tconv_band_rows(h: int, w: int, wp: int, cins, d: int,
                          frames: int, has_res: bool = True,
+                         skip_cins=(),
                          budget_bytes: int = 13 * 1024 * 1024) -> int:
     """Band size for the mega-kernel, or 0 if it is not viable at this
     shape. All F frames of the band live in VMEM at once; the estimate
@@ -1432,16 +1495,20 @@ def conv_tconv_band_rows(h: int, w: int, wp: int, cins, d: int,
     16 MB scoped vmem at the 512-channel upsample conv), and the f32
     per-frame temporaries. Bands with under 256 output rows per dot are
     rejected as MXU-inefficient."""
-    weights = sum(9 * c * d * 2 for c in cins) + 3 * d * d * 2
+    weights = (
+        sum(9 * c * d * 2 for c in cins) + 3 * d * d * 2
+        + sum(c * d * 2 for c in skip_cins)
+    )
 
     def cost(t):
         win = sum(2 * frames * (t + 2) * wp * c * 2 for c in cins)
         out = 2 * frames * t * wp * d * 2
         res = out if has_res else 0
+        skip = sum(2 * frames * t * wp * c * 2 for c in skip_cins)
         yc = frames * t * w * d * 2
         acc = frames * t * w * d * 4
         ftmp = (t + 2) * wp * max(cins) * 4 + t * w * d * 4
-        return weights + win + out + res + yc + acc + ftmp
+        return weights + win + out + res + skip + yc + acc + ftmp
 
     best = 0
     for t in range(1, h + 1):
@@ -1460,6 +1527,8 @@ def fused_conv_tconv_padded(
     hw: Tuple[int, int],
     emb: Optional[jax.Array] = None,
     residual: Optional[jax.Array] = None,
+    skip_parts=None,
+    skip_bias: Optional[jax.Array] = None,
     silu: bool = True,
     want_stats: bool = False,
     tile_h: Optional[int] = None,
@@ -1482,8 +1551,11 @@ def fused_conv_tconv_padded(
         if a is None or b_ is None:
             raise ValueError("padded-stream conv requires the affine")
     cins = [x.shape[-1] for x, *_ in parts]
+    skip_parts = skip_parts or []
+    skip_cins = [x.shape[-1] for x, _ in skip_parts]
     tp = tile_h or conv_tconv_band_rows(
-        h, w, wp, cins, d, frames, has_res=residual is not None
+        h, w, wp, cins, d, frames, has_res=residual is not None,
+        skip_cins=skip_cins,
     )
     if not tp:
         raise ValueError("mega-kernel not viable at this shape; gate with "
@@ -1534,6 +1606,17 @@ def fused_conv_tconv_padded(
             pl.BlockSpec((E(1), E(frames), E(tp), E(wp), E(d)), out_idx)
         )
         args.append(residual)
+    for xs, ks in skip_parts:
+        cs = xs.shape[-1]
+        in_specs.append(
+            pl.BlockSpec((E(1), E(frames), E(tp), E(wp), E(cs)), out_idx)
+        )
+        args.append(xs)
+        in_specs.append(pl.BlockSpec((cs, d), lambda bb, i: (0, 0)))
+        args.append(ks.reshape(cs, d).astype(dtype))
+    if skip_parts:
+        in_specs.append(pl.BlockSpec((1, d), lambda bb, i: (0, 0)))
+        args.append(skip_bias.reshape(1, d))
 
     out_shapes = [jax.ShapeDtypeStruct((b, frames, hp, wp, d), dtype)]
     out_specs = [
@@ -1551,7 +1634,8 @@ def fused_conv_tconv_padded(
         functools.partial(
             _conv_tconv_kernel, tp=tp, h=h, w=w, wp=wp, cins=tuple(cins),
             d=d, frames=frames, silu=silu, has_emb=emb is not None,
-            has_res=residual is not None, want_stats=want_stats,
+            has_res=residual is not None, skip_cins=tuple(skip_cins),
+            want_stats=want_stats,
         ),
         grid=(b, h // tp),
         in_specs=in_specs,
