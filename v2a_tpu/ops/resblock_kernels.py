@@ -46,6 +46,22 @@ from jax.experimental.pallas import tpu as pltpu
 TCONV_TILE_BUDGET = int(
     os.environ.get("V2A_TCONV_TILE_BUDGET", str(1024 * 1024))
 )
+# Compute the in-kernel SiLU in bf16 instead of f32: halves the VPU
+# transcendental traffic in the conv kernels' affine+SiLU prologue (the
+# affine itself stays f32 for GroupNorm precision). Numerics: the values
+# feed bf16 matmuls either way; bf16 sigmoid costs ~1e-3 relative error.
+BF16_SILU = os.environ.get("V2A_BF16_SILU", "0") == "1"
+
+
+def _silu(xf, out_dtype):
+    if BF16_SILU and out_dtype == jnp.bfloat16:
+        # explicit bf16 constants: jax.nn.sigmoid's f32 literal hits a
+        # Mosaic vector.broadcast element-type verification bug in bf16
+        xb = xf.astype(jnp.bfloat16)
+        one = jnp.asarray(1.0, jnp.bfloat16)
+        sig = one / (one + jnp.exp(-xb))
+        return (xb * sig).astype(jnp.float32)
+    return xf * jax.nn.sigmoid(xf)
 
 
 def _pick_tile(s: int, c: int, budget_bytes: int = 0) -> int:
@@ -232,6 +248,11 @@ def temporal_conv_fused(
         in_specs=in_specs,
         out_specs=out_specs if want_stats else out_specs[0],
         out_shape=out_shapes if want_stats else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "arbitrary" if want_stats else "parallel"
+            )
+        ),
         interpret=interpret,
     )(*args)
 
@@ -502,7 +523,7 @@ def _affine_conv_kernel(
         )
         xf = x.astype(jnp.float32) * a[:, None, None, :] + bsh[:, None, None, :]
         if silu:
-            xf = xf * jax.nn.sigmoid(xf)
+            xf = _silu(xf, o_ref.dtype)
         # the affine turns the zero padding into silu(b) != 0 — re-zero it
         rr = jax.lax.broadcasted_iota(jnp.int32, (1, hp, wp, 1), 1)
         cc = jax.lax.broadcasted_iota(jnp.int32, (1, hp, wp, 1), 2)
@@ -569,7 +590,7 @@ def _affine_conv_banded_kernel(
         )
         xf = xf * a[0][None, None, :] + bsh[0][None, None, :]
         if silu:
-            xf = xf * jax.nn.sigmoid(xf)
+            xf = _silu(xf, o_ref.dtype)
         # zero the padding back out: global padded row in [1, H], col in [1, W]
         rr = (
             jax.lax.broadcasted_iota(jnp.int32, (hp_rows, wp, 1), 0)
@@ -698,6 +719,9 @@ def fused_affine_conv3x3(
             out_specs=pl.BlockSpec((g, h, w, d), lambda i: (i, 0, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((n, h, w, d), x.dtype),
             scratch_shapes=[pltpu.VMEM((g * h * w, 9 * c), x.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
             interpret=interpret,
         )(*args)
 
@@ -736,6 +760,9 @@ def fused_affine_conv3x3(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, th, w, d), lambda nn, i: (nn, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, w, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
         interpret=interpret,
     )(*args)
 
@@ -832,7 +859,7 @@ def _padded_conv_kernel(
         )[0]
         xf = x.astype(jnp.float32) * av[None, None, :] + bv[None, None, :]
         if silu:
-            xf = xf * jax.nn.sigmoid(xf)
+            xf = _silu(xf, o_ref.dtype)
         # interior mask in PADDED coordinates: global row g = i*tp + wrow
         # in [1, H], col in [1, W]; pad values (zeros, garbage rows, other
         # parts' leftovers) never survive this select
@@ -945,6 +972,9 @@ def fused_affine_conv3x3_padded(
             lambda nn_, i: (nn_, 1 + i * tp, 0, 0),
         ),
         out_shape=jax.ShapeDtypeStruct((n, hp, wp, d), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
         interpret=interpret,
     )(*args)
 
@@ -1137,6 +1167,11 @@ def temporal_conv_padded(
         in_specs=in_specs,
         out_specs=out_specs if want_stats else out_specs[0],
         out_shape=out_shapes if want_stats else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "arbitrary" if want_stats else "parallel"
+            )
+        ),
         interpret=interpret,
     )(*args)
     return outs
@@ -1187,7 +1222,7 @@ def _upconv_kernel(
         )[0]
         xf = xf * av[None, None, :] + bv[None, None, :]
         if silu:
-            xf = xf * jax.nn.sigmoid(xf)
+            xf = _silu(xf, o_ref.dtype)
     # mask in LO padded coordinates (garbage pad rows -> exact zeros,
     # which reproduces the hi-res SAME-conv zero halo)
     rr = (
@@ -1328,6 +1363,9 @@ def fused_upconv3x3_padded(
             lambda nn_, i: (nn_, 1 + i * 2 * tpl, 0, 0),
         ),
         out_shape=jax.ShapeDtypeStruct((n, hp_hi, wp_hi, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
         interpret=interpret,
     )(*args)
 
@@ -1337,7 +1375,7 @@ def fused_upconv3x3_padded(
 
 def _conv_tconv_kernel(
     *refs, tp, h, w, wp, cins, d, frames, silu, has_emb, has_res,
-    skip_cins, want_stats,
+    skip_cins, want_stats, im2col,
 ):
     """One (sample, row-band) step of the whole PseudoConv3d: per-frame
     affine+SiLU+mask -> 3x3 conv (9 tap dots), then the 3-tap temporal mix
@@ -1367,7 +1405,11 @@ def _conv_tconv_kernel(
     if skip_cins:
         sb_ref = refs[idx]; idx += 1  # (1, D) skip-conv bias
     o_ref = refs[idx]; idx += 1
-    stats_ref = refs[idx] if want_stats else None
+    if want_stats:
+        stats_ref = refs[idx]; idx += 1
+    else:
+        stats_ref = None
+    im_ref = refs[idx] if im2col else None  # scratch (tp*W, 9*max(C))
 
     bb = pl.program_id(0)
     i = pl.program_id(1)
@@ -1397,19 +1439,36 @@ def _conv_tconv_kernel(
             )[0]
             xf = x.astype(jnp.float32) * av[None, None, :] + bv[None, None, :]
             if silu:
-                xf = xf * jax.nn.sigmoid(xf)
+                xf = _silu(xf, o_ref.dtype)
             xb = jnp.where(keep, xf, 0.0).astype(x_refs[pi].dtype)
-            for dj in range(3):
-                sh = xb[:, dj:dj + w, :]
-                for di in range(3):
-                    t = di * 3 + dj
-                    xs = sh[di:di + tp].reshape(tp * w, c)
-                    part = jax.lax.dot_general(
-                        xs, w_refs[pi][t * c:(t + 1) * c],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    acc = part if acc is None else acc + part
+            if im2col:
+                # one (tp*W, 9C) x (9C, D) dot per part per frame instead
+                # of 9 K=C dots: fewer MXU issues, deeper K
+                for dj in range(3):
+                    sh = xb[:, dj:dj + w, :]
+                    for di in range(3):
+                        t = di * 3 + dj
+                        im_ref[:, t * c:(t + 1) * c] = (
+                            sh[di:di + tp].reshape(tp * w, c)
+                        )
+                part = jax.lax.dot_general(
+                    im_ref[:, :9 * c], w_refs[pi][:],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
+            else:
+                for dj in range(3):
+                    sh = xb[:, dj:dj + w, :]
+                    for di in range(3):
+                        t = di * 3 + dj
+                        xs = sh[di:di + tp].reshape(tp * w, c)
+                        part = jax.lax.dot_general(
+                            xs, w_refs[pi][t * c:(t + 1) * c],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc = part if acc is None else acc + part
         yf = acc + kb_ref[0].astype(jnp.float32)[None, :]
         yframes.append(yf.astype(o_ref.dtype)[None])  # (1, tp*W, D)
     yc = jnp.concatenate(yframes, axis=0)  # (F, tp*W, D) bf16 in VMEM
@@ -1519,6 +1578,9 @@ def conv_tconv_band_rows(h: int, w: int, wp: int, cins, d: int,
     return best
 
 
+MEGA_IM2COL = os.environ.get("V2A_MEGA_IM2COL", "0") == "1"
+
+
 def fused_conv_tconv_padded(
     parts,
     kbias: jax.Array,
@@ -1532,6 +1594,7 @@ def fused_conv_tconv_padded(
     silu: bool = True,
     want_stats: bool = False,
     tile_h: Optional[int] = None,
+    im2col: Optional[bool] = None,
     interpret: bool = False,
 ):
     """The whole padded-stream PseudoConv3d in ONE kernel: multi-part
@@ -1630,17 +1693,31 @@ def fused_conv_tconv_padded(
             pl.BlockSpec((1, frames, 2, d), lambda bb, i: (bb, 0, 0, 0))
         )
 
+    if im2col is None:
+        im2col = (
+            MEGA_IM2COL
+            and tp * w * 9 * max(cins) * 2 <= 3 * 1024 * 1024
+        )
+    scratch = (
+        [pltpu.VMEM((tp * w, 9 * max(cins)), dtype)] if im2col else []
+    )
     outs = pl.pallas_call(
         functools.partial(
             _conv_tconv_kernel, tp=tp, h=h, w=w, wp=wp, cins=tuple(cins),
             d=d, frames=frames, silu=silu, has_emb=emb is not None,
             has_res=residual is not None, skip_cins=tuple(skip_cins),
-            want_stats=want_stats,
+            want_stats=want_stats, im2col=im2col,
         ),
         grid=(b, h // tp),
         in_specs=in_specs,
         out_specs=out_specs if want_stats else out_specs[0],
         out_shape=out_shapes if want_stats else out_shapes[0],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "arbitrary" if want_stats else "parallel"
+            )
+        ),
         interpret=interpret,
     )(*args)
     return outs
@@ -1712,7 +1789,7 @@ def _conv_tconv_stream_kernel(
             )[0]
             xf = x.astype(jnp.float32) * av[None, None, :] + bv[None, None, :]
             if silu:
-                xf = xf * jax.nn.sigmoid(xf)
+                xf = _silu(xf, o_ref.dtype)
             xb = jnp.where(keep, xf, 0.0).astype(x_refs[pi].dtype)
             for dj in range(3):
                 sh = xb[:, dj:dj + w, :]
@@ -1903,6 +1980,9 @@ def fused_conv_tconv_stream(
         out_specs=out_specs if want_stats else out_specs[0],
         out_shape=out_shapes if want_stats else out_shapes[0],
         scratch_shapes=[pltpu.VMEM((3, tp, w, d), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")
+        ),
         interpret=interpret,
     )(*args)
     return outs
