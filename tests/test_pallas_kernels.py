@@ -709,6 +709,58 @@ def test_fused_conv_tconv_stream_matches_mega():
     )
 
 
+def test_fused_conv_tconv_dma_matches_mega():
+    """The manual double-buffered-DMA mega variant (HBM refs + explicit
+    async copies, pallas-guide pattern) must match the BlockSpec form,
+    including skip folding and stats."""
+    from v2a_tpu.ops.resblock_kernels import (
+        fused_conv_tconv_dma, fused_conv_tconv_padded, padded_hw,
+    )
+
+    rs = np.random.RandomState(4)
+    b, f, h, w, d = 2, 3, 8, 8, 16
+    cins = [8, 16]
+    hp, wp = padded_hw(h, w)
+    parts = []
+    for ci in cins:
+        x = np.zeros((b, f, hp, wp, ci), np.float32)
+        x[:, :, 0] = 3.3
+        x[:, :, -1] = -2.2
+        x[:, :, 1:h + 1, 1:w + 1] = rs.randn(b, f, h, w, ci)
+        k = (rs.randn(3, 3, ci, d) * 0.1).astype(np.float32)
+        a = (1 + 0.1 * rs.randn(b * f, ci)).astype(np.float32)
+        bb = (0.1 * rs.randn(b * f, ci)).astype(np.float32)
+        parts.append((jnp.asarray(x), jnp.asarray(k), jnp.asarray(a),
+                      jnp.asarray(bb)))
+    kbias = jnp.asarray(rs.randn(d).astype(np.float32) * 0.1)
+    tk = jnp.asarray((rs.randn(3, d, d) * 0.2).astype(np.float32))
+    tb = jnp.asarray((rs.randn(d) * 0.1).astype(np.float32))
+    emb = jnp.asarray((rs.randn(b, d) * 0.5).astype(np.float32))
+    xs = np.zeros((b, f, hp, wp, 16), np.float32)
+    xs[:, :, 1:h + 1, 1:w + 1] = rs.randn(b, f, h, w, 16)
+    sparts = [(jnp.asarray(xs),
+               jnp.asarray((rs.randn(16, d) * 0.1).astype(np.float32)))]
+    sbias = jnp.asarray((rs.randn(d) * 0.1).astype(np.float32))
+
+    want, wstats = fused_conv_tconv_padded(
+        parts, kbias, tk, tb, (h, w), emb=emb, skip_parts=sparts,
+        skip_bias=sbias, silu=True, want_stats=True, interpret=True,
+        tile_h=4,
+    )
+    got, gstats = fused_conv_tconv_dma(
+        parts, kbias, tk, tb, (h, w), emb=emb, skip_parts=sparts,
+        skip_bias=sbias, silu=True, want_stats=True, interpret=True,
+        tile_h=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, 1:h + 1, 1:w + 1],
+        np.asarray(want)[:, :, 1:h + 1, 1:w + 1], atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gstats), np.asarray(wstats), rtol=1e-5, atol=1e-4
+    )
+
+
 def test_temporal_conv_fused_hw_matches_reference():
     from v2a_tpu.ops.resblock_kernels import (
         temporal_conv_fused_hw, temporal_conv_reference,

@@ -1723,6 +1723,357 @@ def fused_conv_tconv_padded(
     return outs
 
 
+# -- padded-stream conv+tconv with manual double-buffered DMA ----------------
+#
+# The BlockSpec-pipelined mega-kernel leaves ~1.2 ms/call of window DMA
+# un-overlapped with compute (chained-slope microbench, PERF.md). This
+# variant takes the HBM refs directly (memory_space=ANY), loops the row
+# bands inside ONE grid step per batch sample, and double-buffers every
+# stream with explicit `pltpu.make_async_copy`: band i+1's windows load
+# while band i computes, and band i's output stores while band i+1
+# computes — the pallas-guide double-buffering pattern.
+
+
+def _conv_tconv_dma_kernel(
+    *refs, tp, h, w, wp, cins, d, frames, silu, has_emb, has_res,
+    skip_cins, want_stats, n_bands,
+):
+    n_parts = len(cins)
+    n_skip = len(skip_cins)
+    idx = 0
+    x_refs, a_refs, b_refs, w_refs = [], [], [], []
+    for _ in range(n_parts):
+        x_refs.append(refs[idx]); idx += 1   # (B, F, Hp, Wp, C) in HBM
+        a_refs.append(refs[idx]); idx += 1
+        b_refs.append(refs[idx]); idx += 1
+        w_refs.append(refs[idx]); idx += 1
+    kb_ref = refs[idx]; idx += 1
+    tw_ref = refs[idx]; idx += 1
+    tb_ref = refs[idx]; idx += 1
+    e_ref = res_ref = None
+    if has_emb:
+        e_ref = refs[idx]; idx += 1
+    if has_res:
+        res_ref = refs[idx]; idx += 1       # (B, F, Hp, Wp, D) in HBM
+    skip_hbm, skip_w = [], []
+    sb_ref = None
+    for _ in range(n_skip):
+        skip_hbm.append(refs[idx]); idx += 1
+        skip_w.append(refs[idx]); idx += 1
+    if n_skip:
+        sb_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1             # (B, F, Hp, Wp, D) in HBM
+    if want_stats:
+        stats_ref = refs[idx]; idx += 1     # (1, F, 2, D) block
+    else:
+        stats_ref = None
+    xwins = [refs[idx + k] for k in range(n_parts)]; idx += n_parts
+    reswin = None
+    if has_res:
+        reswin = refs[idx]; idx += 1
+    swins = [refs[idx + k] for k in range(n_skip)]; idx += n_skip
+    stage = refs[idx]; idx += 1             # (2, F, tp, Wp, D) bf16
+    stats_acc = refs[idx] if want_stats else None
+    if want_stats:
+        idx += 1
+    in_sems = refs[idx]; idx += 1           # DMA sems (n_streams, 2)
+    out_sems = refs[idx]                    # DMA sems (2,)
+
+    bb = pl.program_id(0)
+
+    def win_dma(pi, slot, i):
+        return pltpu.make_async_copy(
+            x_refs[pi].at[bb, :, pl.ds(i * tp, tp + 2)],
+            xwins[pi].at[slot],
+            in_sems.at[pi, slot],
+        )
+
+    def res_dma(slot, i):
+        return pltpu.make_async_copy(
+            res_ref.at[bb, :, pl.ds(1 + i * tp, tp)],
+            reswin.at[slot],
+            in_sems.at[n_parts, slot],
+        )
+
+    def skip_dma(si, slot, i):
+        return pltpu.make_async_copy(
+            skip_hbm[si].at[bb, :, pl.ds(1 + i * tp, tp)],
+            swins[si].at[slot],
+            in_sems.at[n_parts + (1 if has_res else 0) + si, slot],
+        )
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(
+            stage.at[slot],
+            o_ref.at[bb, :, pl.ds(1 + i * tp, tp)],
+            out_sems.at[slot],
+        )
+
+    def start_all(slot, i):
+        for pi in range(n_parts):
+            win_dma(pi, slot, i).start()
+        if has_res:
+            res_dma(slot, i).start()
+        for si in range(n_skip):
+            skip_dma(si, slot, i).start()
+
+    def wait_all(slot, i):
+        for pi in range(n_parts):
+            win_dma(pi, slot, i).wait()
+        if has_res:
+            res_dma(slot, i).wait()
+        for si in range(n_skip):
+            skip_dma(si, slot, i).wait()
+
+    if want_stats:
+        stats_acc[...] = jnp.zeros(stats_acc.shape, stats_acc.dtype)
+
+    start_all(0, 0)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_bands)
+        def _():
+            start_all(nxt, i + 1)
+
+        wait_all(slot, i)
+
+        rr = (
+            jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 0) + i * tp
+        )
+        cc = jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 1)
+        keep = (rr >= 1) & (rr <= h) & (cc >= 1) & (cc <= w)
+        yframes = []
+        for f in range(frames):
+            acc = None
+            for pi in range(n_parts):
+                c = cins[pi]
+                x = xwins[pi][slot, f]  # (tp+2, Wp, C)
+                n_rows = a_refs[pi].shape[0]
+                sel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1)
+                    == bb * frames + f
+                ).astype(jnp.float32)
+                av = jax.lax.dot_general(
+                    sel, a_refs[pi][:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[0]
+                bv = jax.lax.dot_general(
+                    sel, b_refs[pi][:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[0]
+                xf = (
+                    x.astype(jnp.float32) * av[None, None, :]
+                    + bv[None, None, :]
+                )
+                if silu:
+                    xf = _silu(xf, stage.dtype)
+                xb = jnp.where(keep, xf, 0.0).astype(stage.dtype)
+                for dj in range(3):
+                    sh = xb[:, dj:dj + w, :]
+                    for di in range(3):
+                        t = di * 3 + dj
+                        xs = sh[di:di + tp].reshape(tp * w, c)
+                        part = jax.lax.dot_general(
+                            xs, w_refs[pi][t * c:(t + 1) * c],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc = part if acc is None else acc + part
+            yf = acc + kb_ref[0].astype(jnp.float32)[None, :]
+            yframes.append(yf.astype(stage.dtype)[None])
+        yc = jnp.concatenate(yframes, axis=0)  # (F, tp*W, D)
+
+        tbias = tb_ref[0].astype(jnp.float32)
+        if has_emb:
+            nb = e_ref.shape[0]
+            sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) == bb
+            ).astype(jnp.float32)
+            e = jax.lax.dot_general(
+                sel, e_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            tbias = tbias + e[0]
+        m = tp * w
+        zrow = jnp.zeros((1, m, d), yc.dtype)
+        xm1 = jnp.concatenate([zrow, yc[:-1]], axis=0).reshape(frames * m, d)
+        xp1 = jnp.concatenate([yc[1:], zrow], axis=0).reshape(frames * m, d)
+        x2 = yc.reshape(frames * m, d)
+        w0, w1, w2 = tw_ref[:d], tw_ref[d:2 * d], tw_ref[2 * d:]
+
+        def tap(xs, wt):
+            return jax.lax.dot_general(
+                xs, wt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        y = tap(x2, w1) + tap(xm1, w0) + tap(xp1, w2)
+        y = y + tbias[None, :]
+        for si, cs in enumerate(skip_cins):
+            xs = swins[si][slot][:, :, 1:w + 1, :].reshape(frames * m, cs)
+            y = y + jax.lax.dot_general(
+                xs, skip_w[si][:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if n_skip:
+            y = y + sb_ref[0].astype(jnp.float32)[None, :]
+        y = y.reshape(frames, tp, w, d)
+        if has_res:
+            y = y + reswin[slot][:, :, 1:w + 1, :].astype(jnp.float32)
+        y16i = y.astype(stage.dtype)
+        if want_stats:
+            yf32 = y16i.astype(jnp.float32)
+            stats_acc[...] = stats_acc[...] + jnp.stack(
+                [jnp.sum(yf32, axis=(1, 2)), jnp.sum(yf32 * yf32, axis=(1, 2))],
+                axis=1,
+            )
+        yp = jnp.concatenate(
+            [
+                jnp.zeros((frames, tp, 1, d), jnp.float32),
+                y,
+                jnp.zeros((frames, tp, wp - w - 1, d), jnp.float32),
+            ],
+            axis=2,
+        )
+
+        # the store of band i-2 used this staging slot: drain it first
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, i - 2).wait()
+
+        stage[slot] = yp.astype(stage.dtype)
+        out_dma(slot, i).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_bands, body, 0)
+
+    # drain the in-flight output stores (n_bands is static)
+    if n_bands >= 2:
+        out_dma((n_bands - 2) % 2, n_bands - 2).wait()
+    out_dma((n_bands - 1) % 2, n_bands - 1).wait()
+
+    if want_stats:
+        stats_ref[0] = stats_acc[...]
+
+
+def fused_conv_tconv_dma(
+    parts,
+    kbias: jax.Array,
+    tkernel: jax.Array,
+    tbias: jax.Array,
+    hw: Tuple[int, int],
+    emb: Optional[jax.Array] = None,
+    residual: Optional[jax.Array] = None,
+    skip_parts=None,
+    skip_bias: Optional[jax.Array] = None,
+    silu: bool = True,
+    want_stats: bool = False,
+    tile_h: Optional[int] = None,
+    interpret: bool = False,
+):
+    """`fused_conv_tconv_padded` with manual double-buffered DMA (same
+    contract; see the module comment above)."""
+    h, w = hw
+    hp, wp = padded_hw(h, w)
+    b, frames = parts[0][0].shape[:2]
+    d = parts[0][1].shape[-1]
+    cins = [x.shape[-1] for x, *_ in parts]
+    skip_parts = skip_parts or []
+    skip_cins = [x.shape[-1] for x, _ in skip_parts]
+    tp = tile_h or conv_tconv_band_rows(
+        h, w, wp, cins, d, frames, has_res=residual is not None,
+        skip_cins=skip_cins,
+    )
+    if not tp:
+        raise ValueError("mega-kernel not viable at this shape")
+    if h % tp:
+        raise ValueError(f"tile_h {tp} must divide H={h}")
+    n_bands = h // tp
+    dtype = parts[0][0].dtype
+
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs = []
+    args = []
+    for x, kernel, a, b_ in parts:
+        c = x.shape[-1]
+        in_specs.append(any_spec)
+        args.append(x)
+        in_specs.append(pl.BlockSpec((b * frames, c), lambda bb: (0, 0)))
+        args.append(a.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((b * frames, c), lambda bb: (0, 0)))
+        args.append(b_.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((9 * c, d), lambda bb: (0, 0)))
+        args.append(kernel.astype(dtype).reshape(9 * c, d))
+    in_specs.append(pl.BlockSpec((1, d), lambda bb: (0, 0)))
+    args.append(kbias.reshape(1, d))
+    in_specs.append(pl.BlockSpec((3 * d, d), lambda bb: (0, 0)))
+    args.append(tkernel.reshape(3 * d, d).astype(dtype))
+    in_specs.append(pl.BlockSpec((1, d), lambda bb: (0, 0)))
+    args.append(tbias.reshape(1, d))
+    if emb is not None:
+        in_specs.append(pl.BlockSpec((b, d), lambda bb: (0, 0)))
+        args.append(emb.reshape(b, d))
+    if residual is not None:
+        in_specs.append(any_spec)
+        args.append(residual)
+    for xs, ks in skip_parts:
+        cs = xs.shape[-1]
+        in_specs.append(any_spec)
+        args.append(xs)
+        in_specs.append(pl.BlockSpec((cs, d), lambda bb: (0, 0)))
+        args.append(ks.reshape(cs, d).astype(dtype))
+    if skip_parts:
+        in_specs.append(pl.BlockSpec((1, d), lambda bb: (0, 0)))
+        args.append(skip_bias.reshape(1, d))
+
+    out_shapes = [jax.ShapeDtypeStruct((b, frames, hp, wp, d), dtype)]
+    out_specs = [any_spec]
+    if want_stats:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, frames, 2, d), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, frames, 2, d), lambda bb: (bb, 0, 0, 0))
+        )
+
+    n_streams = len(parts) + (1 if residual is not None else 0) + len(skip_parts)
+    scratch = [
+        pltpu.VMEM((2, frames, tp + 2, wp, c), dtype) for c in cins
+    ]
+    if residual is not None:
+        scratch.append(pltpu.VMEM((2, frames, tp, wp, d), dtype))
+    for cs in skip_cins:
+        scratch.append(pltpu.VMEM((2, frames, tp, wp, cs), dtype))
+    scratch.append(pltpu.VMEM((2, frames, tp, wp, d), dtype))  # stage
+    if want_stats:
+        scratch.append(pltpu.VMEM((frames, 2, d), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((n_streams, 2)))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _conv_tconv_dma_kernel, tp=tp, h=h, w=w, wp=wp,
+            cins=tuple(cins), d=d, frames=frames, silu=silu,
+            has_emb=emb is not None, has_res=residual is not None,
+            skip_cins=tuple(skip_cins), want_stats=want_stats,
+            n_bands=n_bands,
+        ),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs if want_stats else out_specs[0],
+        out_shape=out_shapes if want_stats else out_shapes[0],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(*args)
+    return outs
+
+
 # -- padded-stream frame-streaming conv+tconv --------------------------------
 #
 # The all-frames mega-kernel caps the band at tp=4 (every frame's window
