@@ -761,6 +761,83 @@ def test_fused_conv_tconv_dma_matches_mega():
     )
 
 
+def test_fused_downconv3x3_padded_matches_strided_conv():
+    """The padded-stream stride-2 conv (row-pair/column-parity splits)
+    must equal XLA's strided SAME conv, with garbage pad rows masked."""
+    from v2a_tpu.ops.resblock_kernels import (
+        fused_downconv3x3_padded, padded_hw,
+    )
+
+    rs = np.random.RandomState(8)
+    n, h, w, c, d = 3, 8, 8, 8, 16
+    hp, wp = padded_hw(h, w)
+    x = rs.randn(n, h, w, c).astype(np.float32)
+    xp = np.zeros((n, hp, wp, c), np.float32)
+    xp[:, 0] = 6.0
+    xp[:, -1] = -6.0
+    xp[:, 1:h + 1, 1:w + 1] = x
+    k = (rs.randn(3, 3, c, d) * 0.1).astype(np.float32)
+    bias = (rs.randn(d) * 0.1).astype(np.float32)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    for tl in (2, 4):
+        got = fused_downconv3x3_padded(
+            jnp.asarray(xp), jnp.asarray(k), jnp.asarray(bias), (h, w),
+            tile_h=tl, interpret=True,
+        )
+        gi = np.asarray(got)[:, 1:h // 2 + 1, 1:w // 2 + 1]
+        np.testing.assert_allclose(gi, np.asarray(ref), atol=1e-4)
+        cols = np.asarray(got)[:, 1:h // 2 + 1].copy()
+        cols[:, :, 1:w // 2 + 1] = 0
+        assert np.abs(cols).max() == 0.0
+
+
+def test_video_unet_downconv_matches_default():
+    """PERF_DOWNCONV routes the Downsample through the padded stride-2
+    kernel inside the full model (64^2 input so the post-downsample level
+    is still banded-eligible) — must match the plain path."""
+    from v2a_tpu.models import video_unet
+    from v2a_tpu.models.video_unet import VideoUNet
+
+    kw = dict(
+        in_channels=6, model_channels=128, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1, 2), num_head_channels=32,
+        task_token_dim=64,
+    )
+    rs = np.random.RandomState(19)
+    x = jnp.asarray(rs.randn(1, 2, 64, 64, 6), jnp.float32)
+    t = jnp.asarray([7], jnp.int32)
+    tok = jnp.asarray(rs.randn(1, 4, 64), jnp.float32)
+
+    base = VideoUNet(**kw)
+    params = base.init(jax.random.PRNGKey(0), x, t, tok)
+    out0 = base.apply(params, x, t, tok)
+    saved = (
+        video_unet.PERF_PALLAS_SPATIAL2_MIN_CH,
+        video_unet.PERF_PALLAS_SPATIAL2_MAX_S,
+        video_unet.PERF_PADDED_STREAM,
+        video_unet.PERF_DOWNCONV,
+    )
+    video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 128
+    video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 16384
+    video_unet.PERF_PADDED_STREAM = True
+    video_unet.PERF_DOWNCONV = True
+    try:
+        out1 = VideoUNet(fused=True, **kw).apply(params, x, t, tok)
+    finally:
+        (
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH,
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S,
+            video_unet.PERF_PADDED_STREAM,
+            video_unet.PERF_DOWNCONV,
+        ) = saved
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), atol=1e-3, rtol=1e-3
+    )
+
+
 def test_temporal_conv_fused_hw_matches_reference():
     from v2a_tpu.ops.resblock_kernels import (
         temporal_conv_fused_hw, temporal_conv_reference,

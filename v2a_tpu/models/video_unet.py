@@ -112,6 +112,10 @@ PERF_UPCONV = os.environ.get("V2A_UPCONV", "1") == "1"
 # conv-output ring in persistent scratch): one frame's window in VMEM at
 # a time, so bands grow 4x and the conv dots hit full MXU tiles.
 PERF_STREAM_KERNEL = os.environ.get("V2A_STREAM_KERNEL", "0") == "1"
+# Downsample convs as the padded-stream stride-2 kernel
+# (`fused_downconv3x3_padded`): the unpad slice, XLA strided-conv
+# relayouts, and the next level's pad_stream pass all disappear.
+PERF_DOWNCONV = os.environ.get("V2A_DOWNCONV", "0") == "1"
 
 
 class PaddedStream:
@@ -711,14 +715,49 @@ class PseudoConv3d(nn.Module):
             y = y + kbias.astype(self.dtype)
             return PaddedStream(y, hw)
 
-        if k != 3 or self.spatial_strides != (1, 1):
-            raise ValueError("padded stream supports 3x3 stride-1 convs")
+        if k != 3 or self.spatial_strides not in ((1, 1), (2, 2)):
+            raise ValueError("padded stream supports 3x3 stride-1/2 convs")
         from v2a_tpu.ops.resblock_kernels import (
             fused_affine_conv3x3_padded,
             fused_conv_tconv_padded,
+            fused_downconv3x3_padded,
             fused_upconv3x3_padded,
             temporal_conv_padded,
         )
+
+        if self.spatial_strides == (2, 2):
+            # padded-stream downsample: stride-2 conv to the halved
+            # resolution, then the padded temporal conv there
+            if len(parts) != 1 or pre_affine is not None or (
+                residual is not None or skip is not None
+            ):
+                raise ValueError("padded stride-2 conv is the bare "
+                                 "Downsample conv")
+            p = parts[0]
+            hh, ww = hw
+            kernel, kbias = _Conv2DParams(
+                feat, k, self.zero_init, name="spatial_conv"
+            )(cin)
+            y = fused_downconv3x3_padded(
+                p.x.reshape(b * f, hp, wp, cin).astype(self.dtype),
+                kernel, kbias, hw, interpret=interp,
+            )
+            hw2 = (hh // 2, ww // 2)
+            from v2a_tpu.ops.resblock_kernels import padded_hw as _phw3
+
+            hp2, wp2 = _phw3(*hw2)
+            tkernel, tbias = _TemporalConvParams(
+                feat, k, name="temporal_conv"
+            )()
+            out = temporal_conv_padded(
+                y.reshape(b, f, hp2, wp2, feat).astype(self.dtype),
+                tkernel, tbias, hw2, emb=emb, residual=None,
+                want_stats=want_stats, interpret=interp,
+            )
+            if want_stats:
+                yt, stats = out
+                return PaddedStream(yt, hw2), stats
+            return PaddedStream(out, hw2)
 
         if upsample2x:
             # conv3x3(nearest_2x(x)) as the collapsed 4-parity low-res conv
@@ -1234,6 +1273,12 @@ class SpatialAttentionBlock(nn.Module):
     def __call__(
         self, x: jax.Array, stats: Optional[jax.Array] = None
     ) -> jax.Array:
+        was_padded = isinstance(x, PaddedStream)
+        if was_padded:
+            # attention needs exact token sets: drop to the interior view
+            # and re-enter the padded layout after (the forwarded stats
+            # describe the interior, so they stay valid)
+            x = unpad_stream(x)
         b, f, h, w, c = x.shape
         n_heads = c // self.num_head_channels
         ch = self.num_head_channels
@@ -1260,7 +1305,8 @@ class SpatialAttentionBlock(nn.Module):
         out = jnp.einsum("bhts,bshc->bthc", weights, v)
         out = out.reshape(b * f, h * w, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj_out")(out)
-        return (y + out).reshape(b, f, h, w, c)
+        result = (y + out).reshape(b, f, h, w, c)
+        return pad_stream(result) if was_padded else result
 
 
 class Downsample3D(nn.Module):
@@ -1271,15 +1317,29 @@ class Downsample3D(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, want_stats: bool = False):
+    def __call__(
+        self, x: jax.Array, want_stats: bool = False,
+        padded_out: bool = False,
+    ):
+        if padded_out and PERF_DOWNCONV:
+            # padded-stream stride-2 kernel: reads the full-res stream
+            # directly (in-kernel interior mask) and writes the half-res
+            # padded stream
+            if not isinstance(x, PaddedStream):
+                x = pad_stream(x)
+            return PseudoConv3d(
+                self.features, 3, spatial_strides=(2, 2), dtype=self.dtype,
+                fused=self.fused, name="conv",
+            )(x, want_stats=want_stats)
         if isinstance(x, PaddedStream):
             # the stride-2 conv's SAME halo must be zeros; the stream's pad
             # values are arbitrary, so drop to the interior view first
             x = unpad_stream(x)
-        return PseudoConv3d(
+        out = PseudoConv3d(
             self.features, 3, spatial_strides=(2, 2), dtype=self.dtype,
             fused=self.fused, name="conv",
         )(x, want_stats=want_stats)
+        return out
 
 
 class Upsample3D(nn.Module):
@@ -1414,17 +1474,20 @@ class VideoUNet(nn.Module):
                 hs.append((h, st))
                 block_idx += 1
             if level != len(self.channel_mult) - 1:
+                next_ch = int(self.channel_mult[level + 1] * mc)
+                next_padded = fused and _padded_eligible(
+                    next_ch, [ch, next_ch], (hh // 2) * (ww // 2)
+                )
                 h = Downsample3D(
                     ch, self.dtype, fused, name=f"downsample_{level}"
-                )(h, want_stats=fused)
+                )(h, want_stats=fused, padded_out=next_padded)
                 if fused:
                     h, st = h
                 hh, ww = hh // 2, ww // 2
-                next_ch = int(self.channel_mult[level + 1] * mc)
-                if fused and _padded_eligible(
-                    next_ch, [ch, next_ch], hh * ww
-                ):
+                if next_padded and not isinstance(h, PaddedStream):
                     h = pad_stream(h)
+                elif not next_padded and isinstance(h, PaddedStream):
+                    h = unpad_stream(h)
                 hs.append((h, st))
                 ds *= 2
 

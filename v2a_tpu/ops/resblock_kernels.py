@@ -1370,6 +1370,193 @@ def fused_upconv3x3_padded(
     )(*args)
 
 
+# -- padded-stream fused stride-2 3x3 conv (downsample) ----------------------
+#
+# The stride-2 SAME conv on a padded stream, out in padded form at the
+# halved resolution. Tap gathering at stride 2 uses parity splits:
+# window rows (2tq+2) reshape to (tq+1, 2) row pairs (outer dims, free),
+# columns split (Wp) -> (Wp/2, 2) on the sublane dim (verified supported
+# by Mosaic, like the upconv's merge). The input mask makes the garbage
+# pad rows exact zeros, reproducing the SAME-conv halo; the unpad slice,
+# XLA conv relayouts, and the next level's pad_stream all disappear.
+
+
+def _downconv_kernel(
+    *refs, tq, h, w, wp, wp2, cin, d, silu, has_affine,
+):
+    x_ref = refs[0]
+    idx = 1
+    a_ref = b_ref = None
+    if has_affine:
+        a_ref = refs[idx]; idx += 1
+        b_ref = refs[idx]; idx += 1
+    w_ref = refs[idx]; idx += 1
+    bias_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]
+
+    nn_ = pl.program_id(0)
+    i = pl.program_id(1)
+    x = x_ref[0]  # (2*tq+2, Wp, C)
+    xf = x.astype(jnp.float32)
+    if has_affine:
+        n_rows = a_ref.shape[0]
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1) == nn_
+        ).astype(jnp.float32)
+        av = jax.lax.dot_general(
+            sel, a_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]
+        bv = jax.lax.dot_general(
+            sel, b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]
+        xf = xf * av[None, None, :] + bv[None, None, :]
+        if silu:
+            xf = _silu(xf, o_ref.dtype)
+    rows = 2 * tq + 2
+    rr = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 0) + 2 * i * tq
+    )
+    cc = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 1)
+    keep = (rr >= 1) & (rr <= h) & (cc >= 1) & (cc <= w)
+    xm = jnp.where(keep, xf, 0.0)
+
+    w2 = w // 2
+    xr = xm.reshape(tq + 1, 2, wp, cin)  # row pairs (outer split, free)
+    acc = None
+    for dr in range(3):
+        if dr == 0:
+            rsl = xr[0:tq, 0]
+        elif dr == 1:
+            rsl = xr[0:tq, 1]
+        else:
+            rsl = xr[1:tq + 1, 0]
+        # (tq, Wp, C) -> column parity split on the sublane dim
+        csp = rsl.reshape(tq, wp // 2, 2, cin)
+        for dc in range(3):
+            if dc == 0:
+                xs = csp[:, 0:w2, 0]
+            elif dc == 1:
+                xs = csp[:, 0:w2, 1]
+            else:
+                xs = csp[:, 1:w2 + 1, 0]
+            t = dr * 3 + dc
+            xs = xs.astype(x_ref.dtype).reshape(tq * w2, cin)
+            part = jax.lax.dot_general(
+                xs, w_ref[t * cin:(t + 1) * cin],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+    y = acc + bias_ref[0].astype(jnp.float32)[None, :]
+    y = y.reshape(tq, w2, d)
+    yp = jnp.concatenate(
+        [
+            jnp.zeros((tq, 1, d), jnp.float32),
+            y,
+            jnp.zeros((tq, wp2 - w2 - 1, d), jnp.float32),
+        ],
+        axis=1,
+    )
+    o_ref[0] = yp.astype(o_ref.dtype)
+
+
+def downconv_band_rows(h2: int, wp: int, c: int, d: int,
+                       budget_bytes: int = 10 * 1024 * 1024) -> int:
+    """Output rows per band for the stride-2 conv (input window is
+    2*tq+2 rows of the full-res padded stream)."""
+    weights = 9 * c * d * 2
+
+    def cost(t):
+        win = 2 * (2 * t + 2) * wp * c * 2
+        ftmp = (2 * t + 2) * wp * c * 4
+        out = 2 * t * (wp // 2 + 8) * d * 2
+        acc = t * (wp // 2) * d * 4
+        return weights + win + ftmp + out + acc
+
+    best = 1
+    for t in range(1, h2 + 1):
+        if h2 % t == 0 and cost(t) <= budget_bytes:
+            best = max(best, t)
+    return best
+
+
+def fused_downconv3x3_padded(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    hw: Tuple[int, int],
+    a: Optional[jax.Array] = None,
+    b: Optional[jax.Array] = None,
+    silu: bool = False,
+    tile_h: Optional[int] = None,
+    interpret: bool = False,
+):
+    """y = conv3x3_stride2_same(x) on padded streams.
+
+    Args:
+      x: (N, Hp, Wp, C) padded stream at the full resolution (garbage pad
+        rows OK — masked).
+      kernel: (3, 3, C, D); bias (D,); a/b optional per-(N, C) affine.
+      hw: full-res interior (H, W), both even.
+    Returns (N, Hp2, Wp2, D) padded stream at (H/2, W/2).
+    """
+    h, w = hw
+    hp, wp = padded_hw(h, w)
+    h2, w2 = h // 2, w // 2
+    hp2, wp2 = padded_hw(h2, w2)
+    n, c = x.shape[0], x.shape[-1]
+    d = kernel.shape[-1]
+    if x.shape[1] != hp or x.shape[2] != wp:
+        raise ValueError(f"x {x.shape} vs padded ({hp},{wp})")
+    if h % 2 or w % 2 or wp % 2:
+        raise ValueError("stride-2 conv needs even H, W, Wp")
+    tq = tile_h or downconv_band_rows(h2, wp, c, d)
+    if h2 % tq:
+        raise ValueError(f"tile_h {tq} must divide H/2={h2}")
+
+    from jax._src.pallas import core as _pc
+
+    E = _pc.Element
+    has_affine = a is not None
+
+    in_specs = [
+        pl.BlockSpec(
+            (E(1), E(2 * tq + 2), E(wp), E(c)),
+            lambda nn_, i: (nn_, 2 * i * tq, 0, 0),
+        )
+    ]
+    args = [x]
+    if has_affine:
+        in_specs.append(pl.BlockSpec((n, c), lambda nn_, i: (0, 0)))
+        args.append(a.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((n, c), lambda nn_, i: (0, 0)))
+        args.append(b.astype(jnp.float32))
+    in_specs.append(pl.BlockSpec((9 * c, d), lambda nn_, i: (0, 0)))
+    args.append(kernel.astype(x.dtype).reshape(9 * c, d))
+    in_specs.append(pl.BlockSpec((1, d), lambda nn_, i: (0, 0)))
+    args.append(bias.reshape(1, d))
+
+    return pl.pallas_call(
+        functools.partial(
+            _downconv_kernel, tq=tq, h=h, w=w, wp=wp, wp2=wp2, cin=c,
+            d=d, silu=silu, has_affine=has_affine,
+        ),
+        grid=(n, h2 // tq),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (E(1), E(tq), E(wp2), E(d)),
+            lambda nn_, i: (nn_, 1 + i * tq, 0, 0),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, hp2, wp2, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 # -- padded-stream fused spatial conv + temporal conv (mega-kernel) ----------
 
 
@@ -1573,11 +1760,14 @@ def conv_tconv_band_rows(h: int, w: int, wp: int, cins, d: int,
     for t in range(1, h + 1):
         if h % t == 0 and cost(t) <= budget_bytes:
             best = max(best, t)
-    if best * w < 256:
+    if best * w < MEGA_MIN_M:
         return 0
     return best
 
 
+# minimum rows-per-dot for the mega kernel to engage; 128 lets the L2
+# single-part blocks in (K = 9*384 is deep enough to carry M=128)
+MEGA_MIN_M = int(os.environ.get("V2A_MEGA_MIN_M", "256"))
 MEGA_IM2COL = os.environ.get("V2A_MEGA_IM2COL", "0") == "1"
 
 
