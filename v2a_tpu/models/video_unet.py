@@ -116,6 +116,10 @@ PERF_STREAM_KERNEL = os.environ.get("V2A_STREAM_KERNEL", "0") == "1"
 # (`fused_downconv3x3_padded`): the unpad slice, XLA strided-conv
 # relayouts, and the next level's pad_stream pass all disappear.
 PERF_DOWNCONV = os.environ.get("V2A_DOWNCONV", "0") == "1"
+# Run the entry conv (in_channels -> model_channels) through the padded
+# machinery: pad_stream the tiny 6-channel input (0.03 ms) and the XLA
+# entry conv's {3,0,2,1} relayout copy + the L0 entry pad both vanish.
+PERF_ENTRY_PAD = os.environ.get("V2A_ENTRY_PAD", "0") == "1"
 
 
 class PaddedStream:
@@ -1443,13 +1447,22 @@ class VideoUNet(nn.Module):
         fused = self.fused
         hs = []
         st = None
-        h = PseudoConv3d(mc, 3, dtype=self.dtype, fused=fused, name="in_conv")(
-            x.astype(self.dtype), want_stats=fused
-        )
+        hh, ww = x.shape[2], x.shape[3]
+        l0_padded = fused and _padded_eligible(mc, [mc], hh * ww)
+        if l0_padded and PERF_ENTRY_PAD:
+            # enter the padded layout BEFORE the entry conv: the 6-channel
+            # pad is ~50x cheaper than padding the 128-channel output, and
+            # the conv runs in the Pallas padded path (no XLA relayout)
+            h = PseudoConv3d(
+                mc, 3, dtype=self.dtype, fused=fused, name="in_conv"
+            )(pad_stream(x.astype(self.dtype)), want_stats=fused)
+        else:
+            h = PseudoConv3d(
+                mc, 3, dtype=self.dtype, fused=fused, name="in_conv"
+            )(x.astype(self.dtype), want_stats=fused)
         if fused:
             h, st = h
-        hh, ww = x.shape[2], x.shape[3]
-        if fused and _padded_eligible(mc, [mc], hh * ww):
+        if l0_padded and not isinstance(h, PaddedStream):
             # enter the padded-stream layout for the banded levels: pads
             # once here, the per-conv pad passes inside the level vanish
             h = pad_stream(h)
