@@ -33,7 +33,7 @@ def main():
     if on_tpu:
         cfg = PolicyConfig(dtype="bfloat16")
         batch = 64
-        n_iters = 20
+        n_iters = 60
     else:
         cfg = PolicyConfig(
             image_size=(32, 32), down_dims=(32, 64), horizon=8,
@@ -73,8 +73,6 @@ def main():
     # = 12.1 ms device). The real trainer reads loss back every log_freq
     # steps, so amortized readback is the honest number. The step chain
     # stays sequential (each step consumes the previous state).
-    if on_tpu:
-        n_iters = 60
     t0 = time.perf_counter()
     for i in range(n_iters):
         state, loss, gnorm = step(state, jax.random.fold_in(rng, i), batch_data)

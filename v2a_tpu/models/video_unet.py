@@ -125,10 +125,13 @@ PERF_ENTRY_PAD = os.environ.get("V2A_ENTRY_PAD", "0") == "1"
 class PaddedStream:
     """A (B, F, Hp, Wp, C) activation tensor in the padded-stream layout
     (interior at rows 1..H, cols 1..W; `ops/resblock_kernels.py::padded_hw`).
-    Layout contract: pad COLS are zero; pad ROWS (0 and Hp-1) are
-    arbitrary garbage — every consumer (the conv kernel's interior mask,
-    the temporal conv's row-skipping blocks, `unpad_stream`) masks or
-    never reads them, which is what lets producers skip writing them."""
+    Layout contract: pad COLS are zero FOR CONV/TCONV PRODUCERS (the
+    padded 1x1-as-dot producer leaves its bias in the pad cols; its only
+    consumer, the temporal conv residual path, masks in-kernel); pad ROWS
+    (0 and Hp-1) are arbitrary garbage — every consumer (the conv
+    kernel's interior mask, the temporal conv's row-skipping blocks,
+    `unpad_stream`) masks or never reads them, which is what lets
+    producers skip writing them."""
 
     __slots__ = ("x", "hw")
 
@@ -1061,7 +1064,7 @@ class ResBlock3D(nn.Module):
         all activations stay in the (B, F, Hp, Wp, C) padded layout —
         norms collapse to affines from exact (pad-corrected) stats, convs
         run through the padded Pallas kernel, and the residual add rides
-        the temporal conv (pads tracked via `PaddedStream.pv`)."""
+        the temporal conv."""
         from v2a_tpu.ops.resblock_kernels import stats_to_group_affine
 
         if self.use_scale_shift_norm or self.dropout > 0:

@@ -2184,7 +2184,7 @@ def fused_conv_tconv_dma(
     n_bands = h // tp
     dtype = parts[0][0].dtype
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = []
     args = []
     for x, kernel, a, b_ in parts:
@@ -2610,7 +2610,7 @@ def spatial_conv3x3(
         ),
         grid=(n, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((3, 3, c, d), lambda i, j: (0, 0, 0, 0)),
             pl.BlockSpec((1, d), lambda i, j: (0, 0)),
         ],
