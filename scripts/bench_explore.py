@@ -41,6 +41,10 @@ def main():
         def sample(self, rng, imgs01, tasks):
             return np.asarray(video.sample(rng, imgs01, list(tasks)))
 
+        def sample_u8(self, rng, imgs01, tasks):
+            # device-side uint8 quantization: 4x less readback traffic
+            return np.asarray(video.sample_u8(rng, imgs01, list(tasks)))
+
     results = {}
 
     # -- video sampling cost at batch 1 vs batch 8

@@ -107,3 +107,49 @@ def test_stop_at_success_short_circuits(tmp_path):
     ev = Evaluator(envs, greedy, video_fn, video_horizon=3, config=cfg)
     results = ev.run_evals()
     assert results["suc_rate"] == 1.0
+
+
+def test_uint8_video_fn_accepted(tmp_path):
+    """Video fns may return uint8 frames directly (device-side
+    quantization cuts device-to-host readback 4x); the harness must use
+    them as-is instead of re-scaling by 255."""
+
+    class U8VideoFn(CountingVideoFn):
+        def __call__(self, img01, task):
+            v01 = super().__call__(img01, task)
+            return (np.clip(v01, 0.0, 1.0) * 255).astype(np.uint8)
+
+    envs = FakeEnvList(num_tasks=1, img_hw=(32, 32))
+    cfg = EvalConfig(
+        n_seeds=1, eval_n_preds_betw_vframes=2, num_vid_pred_per_ep=2,
+        use_vid_first_n_frames=2, n_acts_per_pred=4, vis=False,
+    )
+    video_fn = U8VideoFn(3)
+    ev = Evaluator(envs, _zero_policy(), video_fn, video_horizon=3,
+                   config=cfg)
+    task = envs.task_list[0]
+    env_idx = envs.seed_sets[task][0]
+    envs.init_1_given_env(task, env_idx, e_seed=7)
+    res = ev.eval_1_env(task, "agent", env_idx)
+    envs.close_1_given_env(task, env_idx)
+    assert video_fn.calls == 2
+    assert len(res.imgs) > 1
+    assert all(pv.dtype == np.uint8 for pv in res.pred_videos)
+
+
+def test_device_quantize_matches_host():
+    """`_quantize_u8` (device-side) must reproduce the host
+    `(x * 255).astype(np.uint8)` truncation bit-for-bit on in-range
+    inputs, and clamp out-of-range values."""
+    from v2a_tpu.models.video_model import _quantize_u8
+
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 3, 8, 8, 3)).astype(np.float32)
+    got = np.asarray(_quantize_u8(x))
+    want = (x * 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+    # out-of-range clamps instead of wrapping
+    bad = np.array([-0.5, 1.5, 1.0, 0.0], np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_quantize_u8(bad)), [0, 255, 255, 0]
+    )

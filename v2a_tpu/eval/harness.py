@@ -71,7 +71,8 @@ class EpisodeResult:
 PolicyFn = Callable[[np.ndarray, np.ndarray], np.ndarray]
 # policy_fn(img_obs01 (1,H,W,3), img_goal01 (1,H,W,3)) -> (n_acts, Da)
 VideoFn = Callable[[np.ndarray, str], np.ndarray]
-# video_fn(img_start01 (H,W,3), task) -> (F, H, W, 3) float01
+# video_fn(img_start01 (H,W,3), task) -> (F, H, W, 3) float01 OR uint8
+# (uint8 preferred: quantizing on device cuts readback traffic 4x)
 
 
 class Evaluator:
@@ -121,10 +122,13 @@ class Evaluator:
             if cnt_vid_pred < num_vid_ppp and (
                 fr_idx == 0 or g_idx == cfg.use_vid_first_n_frames - 1
             ):
-                video01 = np.asarray(
+                video = np.asarray(
                     self.video_fn(img_st.astype(np.float32) / 255.0, task)
                 )
-                pred_v = (video01 * 255).astype(np.uint8)
+                pred_v = (
+                    video if video.dtype == np.uint8
+                    else (np.clip(video, 0.0, 1.0) * 255).astype(np.uint8)
+                )
                 pred_videos.append(
                     np.concatenate([img_st[None], pred_v], axis=0)
                 )

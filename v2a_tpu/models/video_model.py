@@ -36,6 +36,12 @@ from v2a_tpu.ops.gaussian_diffusion import GaussianDiffusion
 from v2a_tpu.ops.schedules import DiffusionSchedule
 
 
+@jax.jit
+def _quantize_u8(x01: jax.Array) -> jax.Array:
+    """float [0,1] -> uint8 on device (truncating, like numpy astype)."""
+    return (jnp.clip(x01, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
 @dataclasses.dataclass(frozen=True)
 class VideoModelConfig:
     """The factory surface of `lb_get_video_model_gcp_v2`
@@ -282,6 +288,18 @@ class VideoPredModel:
         return self._sample_jit(
             self.params, rng, x, x_conds.shape[0], task_embed
         )
+
+    def sample_u8(
+        self, rng: jax.Array, x_conds: np.ndarray, tasks: List[str]
+    ) -> jax.Array:
+        """`sample()` quantized to uint8 ON DEVICE before any readback:
+        (B, F, H, W, 3) uint8 frames. The explore/eval loops only ever
+        consume uint8 frames, so transferring f32 wastes 4x device-to-host
+        bandwidth (the reference pays the same f32 `.cpu()` cost,
+        `lb_online_trainer_v7.py:891-910`); quantizing on device matches
+        the host-side `(x * 255).astype(np.uint8)` truncation exactly
+        because `sample()` already clamps to [0, 1]."""
+        return _quantize_u8(self.sample(rng, x_conds, tasks))
 
     # -- training loss (video-model finetuning parity;
     #    `goal_diffusion.py:690-733`) --------------------------------------

@@ -432,6 +432,18 @@ class OnlineTrainer:
 
     # -- exploration ------------------------------------------------------
 
+    def _sample_videos_u8(self, rng, start_imgs_u8, tasks):
+        """Batched guidance-video sampling, quantized to uint8 ON DEVICE
+        (4x less device-to-host traffic than the f32 readback the
+        reference pays, `lb_online_trainer_v7.py:891-910`). Stub/test
+        video models that only expose float `sample()` still work."""
+        imgs01 = np.stack(start_imgs_u8).astype(np.float32) / 255.0
+        vm = self.video_model
+        if hasattr(vm, "sample_u8"):
+            return vm.sample_u8(rng, imgs01, tasks)
+        v01 = np.asarray(vm.sample(rng, imgs01, tasks))
+        return (np.clip(v01, 0.0, 1.0) * 255.0).astype(np.uint8)
+
     def video_guided_explore(self):
         """One exploration cycle over all tasks
         (`video_guided_explore` `lb_online_trainer_v7.py:859-938`)."""
@@ -454,12 +466,9 @@ class OnlineTrainer:
             self.envs.close_1_given_env(task, env_idx)
 
         self.rng, vid_rng = jax.random.split(self.rng)
-        videos01 = self.video_model.sample(
-            vid_rng,
-            np.stack(start_imgs).astype(np.float32) / 255.0,
-            [m[0] for m in metas],
-        )
-        videos_u8 = (np.asarray(videos01) * 255).astype(np.uint8)
+        videos_u8 = np.asarray(self._sample_videos_u8(
+            vid_rng, np.stack(start_imgs), [m[0] for m in metas]
+        ))
 
         for (task, env_idx), video in zip(metas, videos_u8):
             # Re-create the env with the SAME seed that produced the frame
@@ -516,12 +525,9 @@ class OnlineTrainer:
         ])
 
         self.rng, vid_rng = jax.random.split(self.rng)
-        videos01 = self.video_model.sample(
-            vid_rng,
-            np.stack(start_imgs).astype(np.float32) / 255.0,
-            [a[0] for a in assignments],
-        )
-        videos_u8 = (np.asarray(videos01) * 255).astype(np.uint8)
+        videos_u8 = np.asarray(self._sample_videos_u8(
+            vid_rng, np.stack(start_imgs), [a[0] for a in assignments]
+        ))
 
         seeds = [int(self.np_rng.integers(0, 2**31 - 1)) for _ in range(n)]
         results = self._batched_executor.execute_all(
