@@ -1,0 +1,191 @@
+"""On-chip numerical parity gate for the fused/padded Pallas path.
+
+All Pallas equivalence tests run in interpret mode on CPU
+(`tests/test_pallas_kernels.py`); Mosaic-COMPILED numerics — in
+particular the padded-stream "pad ROWS are garbage by contract; every
+consumer must mask" invariant (PERF.md round-2c) — were previously only
+validated indirectly by the bench producing plausible numbers. One missed
+consumer of a garbage row would silently corrupt every sampled video on
+TPU while all CPU tests stay green. This script closes that hole: it runs
+the FULL-SIZE video U-Net forward on the real chip under each kernel
+configuration on identical inputs/params and asserts bf16-level
+closeness against the plain XLA path, then runs the full DDIM-100
+sampling chain per config and checks the sampled videos stay mutually
+close (the chain is a contraction toward the same data manifold, so
+implementation-level bf16 noise must stay bounded — pad-row corruption
+would blow the frames apart or NaN them).
+
+Record the PASS line + max errors in PERF.md each round.
+
+Usage:
+    python scripts/verify_onchip.py            # orchestrates subprocesses
+    python scripts/verify_onchip.py --worker OUT.npz   # one config (env set)
+
+The perf flags are read at `v2a_tpu.models.video_unet` import time, so
+each configuration runs in its own subprocess.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# name -> env overrides; "unfused" is the ground truth (plain XLA convs,
+# no Pallas anywhere in the forward)
+CONFIGS = {
+    "unfused": {"V2A_FUSED": "0", "V2A_PADDED_STREAM": "0"},
+    "fused_nopad": {"V2A_FUSED": "1", "V2A_PADDED_STREAM": "0"},
+    "default": {},  # shipped defaults: fused + padded stream + mega + upconv
+}
+
+BATCH = 8  # production operating point: kernel/band selection depends on it
+FRAMES = 7
+HW = 128
+TOKENS = 16
+
+
+def build(seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from v2a_tpu.models.video_unet import VideoUNet
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    fused = os.environ.get("V2A_FUSED", "1") == "1"
+    unet = VideoUNet(
+        in_channels=6, model_channels=128, out_channels=3, num_res_blocks=2,
+        attention_resolutions=(8, 16), channel_mult=(1, 2, 3, 4, 5),
+        num_head_channels=32, task_token_dim=512,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32, fused=fused,
+    )
+    x_probe = jnp.zeros((1, FRAMES, HW, HW, 6))
+    shapes = jax.eval_shape(
+        lambda r: unet.init(
+            r, x_probe, jnp.zeros((1,), jnp.int32), jnp.zeros((1, TOKENS, 512))
+        ),
+        jax.random.PRNGKey(seed),
+    )
+    rngs = iter(jax.random.split(jax.random.PRNGKey(seed), 10_000))
+    params = jax.tree_util.tree_map(
+        lambda s: (jax.random.normal(next(rngs), s.shape, s.dtype) * 0.02),
+        shapes,
+    )
+    return unet, params
+
+
+def worker(out_path):
+    import jax
+    import jax.numpy as jnp
+
+    from v2a_tpu.ops.gaussian_diffusion import GaussianDiffusion
+    from v2a_tpu.ops.schedules import DiffusionSchedule
+
+    unet, params = build()
+    rng = jax.random.PRNGKey(1234)
+    x = jax.random.normal(rng, (BATCH, FRAMES, HW, HW, 6), jnp.float32) * 0.5
+    t = jnp.arange(BATCH, dtype=jnp.int32) * 12  # spread over the schedule
+    emb = jax.random.normal(jax.random.fold_in(rng, 1),
+                            (BATCH, TOKENS, 512)) * 0.1
+
+    fwd = jax.jit(lambda p, x, t, e: unet.apply(p, x, t, e))
+    y = np.asarray(fwd(params, x, t, emb), np.float32)
+
+    diffusion = GaussianDiffusion(
+        schedule=DiffusionSchedule.create(100, "cosine"),
+        objective="pred_v", sampling_timesteps=100,
+    )
+
+    @jax.jit
+    def sample(params, rng, x_cond, task_embed):
+        return diffusion.sample(
+            lambda x, t, e: unet.apply(params, x, t, e),
+            rng, (BATCH, FRAMES, HW, HW, 3), x_cond, task_embed,
+        )
+
+    x_cond = (jax.random.uniform(jax.random.fold_in(rng, 2),
+                                 (BATCH, 1, HW, HW, 3)) * 2.0 - 1.0)
+    video = np.asarray(sample(params, jax.random.fold_in(rng, 3),
+                              x_cond, emb), np.float32)
+    np.savez(out_path, fwd=y, video=video)
+    print(f"[worker] wrote {out_path}: fwd std={y.std():.4f} "
+          f"video mean={video.mean():.4f} std={video.std():.4f}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", default=None)
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.worker)
+        return
+
+    tmp = tempfile.mkdtemp(prefix="verify_onchip_")
+    outs = {}
+    for name, env in CONFIGS.items():
+        out = os.path.join(tmp, f"{name}.npz")
+        # APPEND the repo to PYTHONPATH — clobbering it would drop the
+        # axon sitecustomize dir and lose the TPU backend registration
+        pp = os.environ.get("PYTHONPATH", "")
+        child_env = dict(
+            os.environ, PYTHONPATH=f"{pp}:{REPO}" if pp else REPO, **env
+        )
+        print(f"== running config {name} ({env or 'shipped defaults'}) ==",
+              flush=True)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", out],
+            env=child_env, check=True, cwd=REPO,
+        )
+        outs[name] = dict(np.load(out))
+
+    ref = outs["unfused"]
+    report = {}
+    ok = True
+    for name in CONFIGS:
+        if name == "unfused":
+            continue
+        got = outs[name]
+        # forward: bf16-level closeness, normalized by the output scale.
+        # ~25 bf16 layers of re-rounded compute accumulate relative error
+        # well past a single bf16 ulp; the gate is against CORRUPTION
+        # (a garbage pad row leaking in is O(1) vs the ~0.2 output std),
+        # not against bit equality.
+        scale = float(ref["fwd"].std())
+        err = np.abs(got["fwd"] - ref["fwd"])
+        fwd_max = float(err.max()) / scale
+        fwd_mean = float(err.mean()) / scale
+        # chain: 100 steps amplify bf16 noise; sampled videos from the SAME
+        # rng/params must still be finite, in-range, and statistically
+        # indistinguishable
+        v, vr = got["video"], ref["video"]
+        chain = {
+            "finite": bool(np.isfinite(v).all()),
+            "mean_delta": abs(float(v.mean()) - float(vr.mean())),
+            "std_ratio": float(v.std()) / float(vr.std()),
+            "pix_mae": float(np.abs(v - vr).mean()),
+        }
+        passed = (
+            fwd_max < 0.25 and fwd_mean < 0.01 and chain["finite"]
+            and chain["mean_delta"] < 0.05
+            and 0.9 < chain["std_ratio"] < 1.1
+        )
+        ok &= passed
+        report[name] = {
+            "fwd_max_err_over_std": round(fwd_max, 5),
+            "fwd_mean_err_over_std": round(fwd_mean, 6),
+            **{k: (round(val, 5) if isinstance(val, float) else val)
+               for k, val in chain.items()},
+            "pass": passed,
+        }
+
+    print(json.dumps({"onchip_parity": report, "pass": ok}, indent=2))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""InceptionV3 FID feature trunk: converter, BN folding, forward, and
+(when torchvision is importable) golden parity with the torch model."""
+
+import numpy as np
+import pytest
+
+from v2a_tpu.ops import fid as fid_mod
+from v2a_tpu.ops.inception import (
+    BLOCKS,
+    BN_EPS,
+    FEATURE_DIM,
+    all_conv_specs,
+    convert_inception_state_dict,
+    fold_bn,
+    inception_forward,
+    load_inception_params,
+    save_inception_params,
+    synthetic_state_dict,
+)
+
+
+def test_spec_channel_bookkeeping():
+    """Block input channels must chain: each block's declared output is the
+    next block's input (the declarative spec is shared by converter,
+    forward, and the synthetic generator, so drift would break them all)."""
+    prev_out = 192  # stem output
+    for _builder, _p, cin, _extra, cout in BLOCKS:
+        assert cin == prev_out
+        prev_out = cout
+    assert prev_out == FEATURE_DIM
+
+
+def test_convert_synthetic_state_dict():
+    sd = synthetic_state_dict(0)
+    params = convert_inception_state_dict(sd)
+    specs = {s.name: s for s in all_conv_specs()}
+    assert set(params) == set(specs)
+    for name, spec in specs.items():
+        assert params[name]["kernel"].shape == (
+            *spec.khw, spec.cin, spec.cout
+        )
+        assert params[name]["bias"].shape == (spec.cout,)
+
+
+def test_bn_folding_matches_unfolded_math():
+    """Folded conv+bias == conv -> batchnorm(eval) computed explicitly."""
+    rs = np.random.RandomState(3)
+    o, i, k = 4, 3, 3
+    w = rs.randn(o, i, k, k).astype(np.float32)
+    gamma = rs.uniform(0.5, 1.5, o).astype(np.float32)
+    beta = rs.randn(o).astype(np.float32)
+    mean = rs.randn(o).astype(np.float32)
+    var = rs.uniform(0.5, 1.5, o).astype(np.float32)
+
+    kernel, bias = fold_bn(w, gamma, beta, mean, var)
+
+    import jax
+    import jax.numpy as jnp
+
+    x = rs.randn(1, 8, 8, i).astype(np.float32)
+    y_fold = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(kernel), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    # explicit: conv (no bias) then (y - mean) / sqrt(var+eps) * gamma + beta
+    y_conv = jax.lax.conv_general_dilated(
+        jnp.asarray(x),
+        jnp.asarray(np.ascontiguousarray(w.transpose(2, 3, 1, 0))),
+        (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y_bn = (y_conv - mean) / np.sqrt(var + BN_EPS) * gamma + beta
+    np.testing.assert_allclose(
+        np.asarray(y_fold), np.asarray(y_bn), atol=1e-5
+    )
+
+
+@pytest.fixture(scope="module")
+def synthetic_params():
+    return convert_inception_state_dict(synthetic_state_dict(0))
+
+
+def test_forward_shape_and_determinism(synthetic_params):
+    rs = np.random.RandomState(0)
+    imgs = rs.rand(2, 64, 64, 3).astype(np.float32)
+    f1 = np.asarray(inception_forward(synthetic_params, imgs))
+    f2 = np.asarray(inception_forward(synthetic_params, imgs))
+    assert f1.shape == (2, FEATURE_DIM)
+    assert np.isfinite(f1).all()
+    assert f1.std() > 0
+    np.testing.assert_array_equal(f1, f2)
+    # per-image features independent of batch composition
+    f_solo = np.asarray(inception_forward(synthetic_params, imgs[:1]))
+    np.testing.assert_allclose(f_solo[0], f1[0], atol=1e-4)
+
+
+def test_npz_roundtrip(tmp_path, synthetic_params):
+    path = str(tmp_path / "inception.npz")
+    save_inception_params(synthetic_params, path)
+    loaded = load_inception_params(path)
+    assert set(loaded) == set(synthetic_params)
+    np.testing.assert_array_equal(
+        loaded["Mixed_7c.branch_pool"]["kernel"],
+        synthetic_params["Mixed_7c.branch_pool"]["kernel"],
+    )
+
+
+def test_fid_with_inception_features(tmp_path, synthetic_params):
+    """`fid(..., features_fn=inception_features(path))` end to end: zero on
+    identical sets, positive on shifted sets."""
+    from v2a_tpu.ops.inception import inception_features
+
+    path = str(tmp_path / "inception.npz")
+    save_inception_params(synthetic_params, path)
+    features_fn = inception_features(path, batch_jit=False)
+
+    rs = np.random.RandomState(1)
+    a = rs.rand(4, 64, 64, 3).astype(np.float32)
+    b = np.clip(a * 0.5 + 0.4, 0, 1)
+    assert fid_mod.fid(a, a, features_fn) < 1e-6
+    assert fid_mod.fid(a, b, features_fn) > 1e-3
+
+
+def test_torch_state_dict_file_loads(tmp_path):
+    """A torch.save'd state dict (the torchvision download format) loads
+    through the same entry point."""
+    torch = pytest.importorskip("torch")
+    sd = {k: torch.tensor(v) for k, v in synthetic_state_dict(1).items()}
+    # torchvision checkpoints carry fc (kept, for Inception Score) and
+    # AuxLogits (ignored)
+    sd["fc.weight"] = torch.ones(1000, 2048)
+    sd["fc.bias"] = torch.zeros(1000)
+    sd["AuxLogits.conv0.conv.weight"] = torch.zeros(128, 768, 1, 1)
+    path = str(tmp_path / "inception.pt")
+    torch.save(sd, path)
+    params = load_inception_params(path)
+    assert "Mixed_7c.branch_pool" in params
+    assert params["fc"]["kernel"].shape == (2048, 1000)
+    assert not any(k.startswith("AuxLogits") for k in params)
+
+    from v2a_tpu.ops.inception import inception_logits
+
+    logits = inception_logits(params, np.ones((2, 2048), np.float32))
+    assert logits.shape == (2, 1000)
+
+
+def test_spatial_features_for_sfid():
+    params = convert_inception_state_dict(synthetic_state_dict(0))
+    rs = np.random.RandomState(0)
+    imgs = rs.rand(2, 64, 64, 3).astype(np.float32)
+    pooled, spatial = inception_forward(params, imgs, return_spatial=True)
+    assert np.asarray(pooled).shape == (2, FEATURE_DIM)
+    assert np.asarray(spatial).shape == (2, 17 * 17 * 7)
+    assert np.isfinite(np.asarray(spatial)).all()
+
+
+def test_golden_vs_torchvision():
+    """Full golden parity when torchvision is installed (skipped here; runs
+    in any deployment that has it)."""
+    torchvision = pytest.importorskip("torchvision")
+    import torch
+
+    tm = torchvision.models.inception_v3(
+        weights=None, aux_logits=True, init_weights=True
+    ).eval()
+    params = convert_inception_state_dict(tm.state_dict())
+
+    rs = np.random.RandomState(0)
+    x01 = rs.rand(2, 299, 299, 3).astype(np.float32)
+    with torch.no_grad():
+        t = torch.tensor(x01.transpose(0, 3, 1, 2)) * 2.0 - 1.0
+        # torchvision forward up to the global pool
+        m = tm
+        y = m.Conv2d_1a_3x3(t)
+        y = m.Conv2d_2a_3x3(y)
+        y = m.Conv2d_2b_3x3(y)
+        y = m.maxpool1(y)
+        y = m.Conv2d_3b_1x1(y)
+        y = m.Conv2d_4a_3x3(y)
+        y = m.maxpool2(y)
+        for blk in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
+                    "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
+                    "Mixed_7a", "Mixed_7b", "Mixed_7c"):
+            y = getattr(m, blk)(y)
+        want = y.mean(dim=(2, 3)).numpy()
+    got = np.asarray(inception_forward(params, x01))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
