@@ -613,6 +613,25 @@ def _trace_rollup(run_once, topk=30):
         )[:15]:
             print(f"  {p / 1e9 / 3:8.2f} ms  {name[:100]}")
 
+    # grouped serialized-line view: ops on the compute line ("XLA Ops")
+    # summed by cleaned name (strip %, the "= ..." tail, and trailing .N) —
+    # the custom-call names carry the originating module path, so this
+    # attributes device time to components directly
+    import re as _re
+
+    busy = [ln for ln in line_totals
+            if "Async" not in ln and ln not in ("XLA Modules",)]
+    if busy:
+        lname = max(busy, key=lambda ln: line_totals[ln])
+        groups = {}
+        for name, p in line_ops[lname].items():
+            g = name.lstrip("%").split(" = ")[0]
+            g = _re.sub(r"\.\d+$", "", g)
+            groups[g] = groups.get(g, 0) + p
+        print(f"-- grouped ops on line '{lname}' (ms/fwd) --")
+        for g, p in sorted(groups.items(), key=lambda kv: -kv[1])[:40]:
+            print(f"  {p / 1e9 / 3:8.2f} ms  {g[:100]}")
+
     # category rollup: convs / pallas kernels / pure-relayout fusions /
     # other fusions / async copies
     import re
@@ -705,6 +724,35 @@ def main():
             continue
         if name == "fused":
             results[name] = time_forward(build(fused=True), name)
+            continue
+        if name.startswith("fused_join_"):
+            # V2A_TAPJOIN wide-dot restructurings under shipped defaults
+            from v2a_tpu.ops import resblock_kernels as rbk
+
+            old_tj = rbk.TAPJOIN
+            rbk.TAPJOIN = name[len("fused_join_"):]
+            jax.clear_caches()
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = defaults[0]
+            video_unet.PERF_SKIP1X1_DOT = defaults[1]
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = defaults[2]
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_SKIP1X1_DOT = False
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
+            rbk.TAPJOIN = old_tj
+            jax.clear_caches()
+            continue
+        if name == "default_noattn":
+            # shipped defaults with attention removed: attention's share
+            # UNDER the padded/mega kernels (the round-2 5.4 ms figure
+            # predates them)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = defaults[0]
+            video_unet.PERF_SKIP1X1_DOT = defaults[1]
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = defaults[2]
+            results[name] = time_forward(build(attn=(), fused=True), name)
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_SKIP1X1_DOT = False
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
             continue
         if name == "fused_default":
             # the shipped TPU defaults (spatial2 + dot1x1 per env)

@@ -945,3 +945,74 @@ def test_spatial_conv3x3_matches_flax_conv():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
     got2 = spatial_conv3x3(x, kernel, bias, interpret=True, tile_h=4)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["t", "ts", "d", "tsd", "f", "fd", "fdts"])
+def test_tapjoin_variants_match_baseline(mode, monkeypatch):
+    """Every V2A_TAPJOIN wide-dot restructuring must reproduce the
+    per-tap-dot baseline exactly (mega kernel AND the padded temporal
+    conv, with skip folding, emb, residual, and stats)."""
+    from v2a_tpu.ops import resblock_kernels as rbk
+
+    rs = np.random.RandomState(11)
+    b, f, h, w, d = 2, 3, 8, 8, 16
+    cins = [8, 16]
+    hp, wp = rbk.padded_hw(h, w)
+    parts = []
+    for ci in cins:
+        x = np.zeros((b, f, hp, wp, ci), np.float32)
+        x[:, :, 0] = 3.3
+        x[:, :, -1] = -2.2  # garbage pad rows
+        x[:, :, 1:h + 1, 1:w + 1] = rs.randn(b, f, h, w, ci)
+        k = (rs.randn(3, 3, ci, d) * 0.1).astype(np.float32)
+        a = (1 + 0.1 * rs.randn(b * f, ci)).astype(np.float32)
+        bb = (0.1 * rs.randn(b * f, ci)).astype(np.float32)
+        parts.append((jnp.asarray(x), jnp.asarray(k), jnp.asarray(a),
+                      jnp.asarray(bb)))
+    kbias = jnp.asarray(rs.randn(d).astype(np.float32) * 0.1)
+    tk = jnp.asarray((rs.randn(3, d, d) * 0.2).astype(np.float32))
+    tb = jnp.asarray((rs.randn(d) * 0.1).astype(np.float32))
+    emb = jnp.asarray((rs.randn(b, d) * 0.5).astype(np.float32))
+    res = np.zeros((b, f, hp, wp, d), np.float32)
+    res[:, :, 0] = 9.9
+    res[:, :, 1:h + 1, 1:w + 1] = rs.randn(b, f, h, w, d)
+    res = jnp.asarray(res)
+    xs = np.zeros((b, f, hp, wp, 16), np.float32)
+    xs[:, :, 1:h + 1, 1:w + 1] = rs.randn(b, f, h, w, 16)
+    sparts = [(jnp.asarray(xs),
+               jnp.asarray((rs.randn(16, d) * 0.1).astype(np.float32)))]
+    sbias = jnp.asarray((rs.randn(d) * 0.1).astype(np.float32))
+
+    def run_mega():
+        return rbk.fused_conv_tconv_padded(
+            parts, kbias, tk, tb, (h, w), emb=emb, skip_parts=sparts,
+            skip_bias=sbias, silu=True, want_stats=True, interpret=True,
+            tile_h=4,
+        )
+
+    def run_tconv():
+        return rbk.temporal_conv_padded(
+            res, tk, tb, (h, w), emb=emb, skip_parts=sparts,
+            skip_bias=sbias, want_stats=True, interpret=True, tile_r=4,
+        )
+
+    monkeypatch.setattr(rbk, "TAPJOIN", "")
+    want_m, wstats_m = run_mega()
+    want_t, wstats_t = run_tconv()
+    monkeypatch.setattr(rbk, "TAPJOIN", mode)
+    got_m, gstats_m = run_mega()
+    got_t, gstats_t = run_tconv()
+
+    interior = np.s_[:, :, 1:h + 1, 1:w + 1]
+    np.testing.assert_allclose(
+        np.asarray(got_m)[interior], np.asarray(want_m)[interior], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gstats_m), np.asarray(wstats_m), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_t)[interior], np.asarray(want_t)[interior], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gstats_t), np.asarray(wstats_t), rtol=1e-5, atol=1e-4
+    )

@@ -981,6 +981,7 @@ def fused_affine_conv3x3_padded(
 
 def _tconv_padded_kernel(
     *refs, frames, tr, w, wp, has_emb, has_res, skip_cins, want_stats,
+    join_t=False, join_s=False,
 ):
     """One (sample, row-band) step of the padded-stream temporal conv:
     block (F, tr, Wp, C) of INTERIOR padded rows (Element start 1+j*tr —
@@ -1001,7 +1002,8 @@ def _tconv_padded_kernel(
     sb_ref = None
     for _ in skip_cins:
         skip_refs.append(refs[idx]); idx += 1  # (1, F, tr, Wp, C_s)
-        skip_refs.append(refs[idx]); idx += 1  # (C_s, C)
+        if not join_s:
+            skip_refs.append(refs[idx]); idx += 1  # (C_s, C)
     if skip_cins:
         sb_ref = refs[idx]; idx += 1
     o_ref = refs[idx]; idx += 1
@@ -1028,7 +1030,6 @@ def _tconv_padded_kernel(
     xm1 = jnp.concatenate([zrow, x[:-1]], axis=0).reshape(frames * m, c)
     xp1 = jnp.concatenate([x[1:], zrow], axis=0).reshape(frames * m, c)
     x2 = x.reshape(frames * m, c)
-    w0, w1, w2 = w_ref[:c], w_ref[c:2 * c], w_ref[2 * c:]
 
     def tap(xs, wt):
         return jax.lax.dot_general(
@@ -1036,15 +1037,28 @@ def _tconv_padded_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    y = tap(x2, w1) + tap(xm1, w0) + tap(xp1, w2)
-    y = y + bias[None, :]
-    # fold the 1x1 skip projection so the projected residual never hits HBM
-    for si, cs in enumerate(skip_cins):
-        xs = skip_refs[2 * si][0].reshape(frames * m, cs)
-        y = y + jax.lax.dot_general(
-            xs, skip_refs[2 * si + 1][:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    if join_t:
+        # one wide contraction (V2A_TAPJOIN): [xm1, x2, xp1(, skips)]
+        # against the host-stacked (3C(+sum Cs), C) weight
+        join = [xm1, x2, xp1]
+        if join_s:
+            join += [skip_refs[si][0].reshape(frames * m, cs)
+                     for si, cs in enumerate(skip_cins)]
+        y = tap(jnp.concatenate(join, axis=1), w_ref[:])
+        y = y + bias[None, :]
+    else:
+        w0, w1, w2 = w_ref[:c], w_ref[c:2 * c], w_ref[2 * c:]
+        y = tap(x2, w1) + tap(xm1, w0) + tap(xp1, w2)
+        y = y + bias[None, :]
+    # fold the 1x1 skip projection so the projected residual never hits
+    # HBM (under join_s it already rode the wide dot above)
+    if not join_s:
+        for si, cs in enumerate(skip_cins):
+            xs = skip_refs[2 * si][0].reshape(frames * m, cs)
+            y = y + jax.lax.dot_general(
+                xs, skip_refs[2 * si + 1][:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     if skip_cins:
         y = y + sb_ref[0].astype(jnp.float32)[None, :]
     y = y.reshape(frames, tr, wp, c)
@@ -1106,8 +1120,11 @@ def temporal_conv_padded(
     skip_parts = skip_parts or []
     skip_cins = [xs.shape[-1] for xs, _ in skip_parts]
     if tile_r is None:
-        # the skip blocks ride along at C_s channels each
+        # the skip blocks ride along at C_s channels each; the tap-join
+        # concat buffer (V2A_TAPJOIN) adds a (F*m, 3C(+sum Cs)) operand
         eff_c = c + sum(skip_cins)
+        if "t" in TAPJOIN:
+            eff_c += 3 * c + (sum(skip_cins) if "s" in TAPJOIN else 0)
         max_rows = max(TCONV_TILE_BUDGET // (eff_c * 2 * 7), 8)
         tile_r = 1
         for t in range(1, h + 1):
@@ -1123,11 +1140,20 @@ def temporal_conv_padded(
     def band(bb, j):
         return (bb, 0, 1 + j * tile_r, 0, 0)
 
+    join_t = "t" in TAPJOIN
+    join_s = join_t and "s" in TAPJOIN and bool(skip_parts)
+
     spec5 = pl.BlockSpec((E(1), E(f), E(tile_r), E(wp), E(c)), band)
     w2d = kernel.reshape(3 * c, c).astype(x.dtype)
+    if join_s:
+        # stack the skip kernels under the temporal taps for the wide dot
+        w2d = jnp.concatenate(
+            [w2d] + [ks.reshape(xs.shape[-1], c).astype(x.dtype)
+                     for xs, ks in skip_parts], axis=0,
+        )
     in_specs = [
         spec5,
-        pl.BlockSpec((3 * c, c), lambda bb, j: (0, 0)),
+        pl.BlockSpec(w2d.shape, lambda bb, j: (0, 0)),
         pl.BlockSpec((1, c), lambda bb, j: (0, 0)),
     ]
     args = [x, w2d, bias.reshape(1, c)]
@@ -1143,8 +1169,9 @@ def temporal_conv_padded(
             pl.BlockSpec((E(1), E(f), E(tile_r), E(wp), E(cs)), band)
         )
         args.append(xs)
-        in_specs.append(pl.BlockSpec((cs, c), lambda bb, j: (0, 0)))
-        args.append(ks.reshape(cs, c).astype(x.dtype))
+        if not join_s:
+            in_specs.append(pl.BlockSpec((cs, c), lambda bb, j: (0, 0)))
+            args.append(ks.reshape(cs, c).astype(x.dtype))
     if skip_parts:
         in_specs.append(pl.BlockSpec((1, c), lambda bb, j: (0, 0)))
         args.append(skip_bias.reshape(1, c))
@@ -1162,6 +1189,7 @@ def temporal_conv_padded(
             _tconv_padded_kernel, frames=f, tr=tile_r, w=w, wp=wp,
             has_emb=emb is not None, has_res=residual is not None,
             skip_cins=tuple(skip_cins), want_stats=want_stats,
+            join_t=join_t, join_s=join_s,
         ),
         grid=(b, h // tile_r),
         in_specs=in_specs,
@@ -1562,7 +1590,8 @@ def fused_downconv3x3_padded(
 
 def _conv_tconv_kernel(
     *refs, tp, h, w, wp, cins, d, frames, silu, has_emb, has_res,
-    skip_cins, want_stats, im2col,
+    skip_cins, want_stats, im2col, join_t=False, join_s=False,
+    join_d=False, join_f=False,
 ):
     """One (sample, row-band) step of the whole PseudoConv3d: per-frame
     affine+SiLU+mask -> 3x3 conv (9 tap dots), then the 3-tap temporal mix
@@ -1588,7 +1617,8 @@ def _conv_tconv_kernel(
     sb_ref = None
     for _ in skip_cins:
         skip_refs.append(refs[idx]); idx += 1  # (1, F, tp, Wp, C_s)
-        skip_refs.append(refs[idx]); idx += 1  # (C_s, D)
+        if not join_s:
+            skip_refs.append(refs[idx]); idx += 1  # (C_s, D)
     if skip_cins:
         sb_ref = refs[idx]; idx += 1  # (1, D) skip-conv bias
     o_ref = refs[idx]; idx += 1
@@ -1605,8 +1635,66 @@ def _conv_tconv_kernel(
     rr = jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 0) + i * tp
     cc = jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 1)
     keep = (rr >= 1) & (rr <= h) & (cc >= 1) & (cc <= w)
+    if join_f:
+        # frame-folded taps: affine+SiLU the whole (F, tp+2, Wp, C) block,
+        # then every tap dot spans all frames (M = F*tp*W)
+        acc = None
+        for pi in range(n_parts):
+            c = cins[pi]
+            x = x_refs[pi][0]  # (F, tp+2, Wp, C)
+            n_rows = a_refs[pi].shape[0]  # B*F
+            sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (frames, n_rows), 1)
+                == bb * frames
+                + jax.lax.broadcasted_iota(jnp.int32, (frames, n_rows), 0)
+            ).astype(jnp.float32)
+            av = jax.lax.dot_general(
+                sel, a_refs[pi][:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (F, C)
+            bv = jax.lax.dot_general(
+                sel, b_refs[pi][:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            xf = (
+                x.astype(jnp.float32) * av[:, None, None, :]
+                + bv[:, None, None, :]
+            )
+            if silu:
+                xf = _silu(xf, o_ref.dtype)
+            xb = jnp.where(keep[None], xf, 0.0).astype(x_refs[pi].dtype)
+            for dj in range(3):
+                if join_d:
+                    xcat = jnp.concatenate(
+                        [xb[:, di:di + tp, dj:dj + w, :].reshape(
+                            frames * tp * w, c)
+                         for di in range(3)], axis=1,
+                    )
+                    part = jax.lax.dot_general(
+                        xcat, w_refs[pi][dj * 3 * c:(dj + 1) * 3 * c],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
+                else:
+                    for di in range(3):
+                        t = di * 3 + dj
+                        xs = xb[:, di:di + tp, dj:dj + w, :].reshape(
+                            frames * tp * w, c
+                        )
+                        part = jax.lax.dot_general(
+                            xs, w_refs[pi][t * c:(t + 1) * c],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc = part if acc is None else acc + part
+        yc = (
+            acc + kb_ref[0].astype(jnp.float32)[None, :]
+        ).astype(o_ref.dtype).reshape(frames, tp * w, d)
+    else:
+        yc = None
     yframes = []
-    for f in range(frames):
+    for f in range(0 if join_f else frames):
         acc = None
         for pi in range(n_parts):
             c = cins[pi]
@@ -1644,6 +1732,23 @@ def _conv_tconv_kernel(
                     preferred_element_type=jnp.float32,
                 )
                 acc = part if acc is None else acc + part
+            elif join_d:
+                # per-column-shift join: the three row shifts concatenate
+                # channel-wise in VMEM and contract against the dj-major
+                # (3C, D) weight slab — 3 deep dots instead of 9 skinny
+                # ones (the weight ref is dj-major when join_d is set)
+                for dj in range(3):
+                    sh = xb[:, dj:dj + w, :]
+                    xcat = jnp.concatenate(
+                        [sh[di:di + tp].reshape(tp * w, c)
+                         for di in range(3)], axis=1,
+                    )
+                    part = jax.lax.dot_general(
+                        xcat, w_refs[pi][dj * 3 * c:(dj + 1) * 3 * c],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
             else:
                 for dj in range(3):
                     sh = xb[:, dj:dj + w, :]
@@ -1658,7 +1763,8 @@ def _conv_tconv_kernel(
                         acc = part if acc is None else acc + part
         yf = acc + kb_ref[0].astype(jnp.float32)[None, :]
         yframes.append(yf.astype(o_ref.dtype)[None])  # (1, tp*W, D)
-    yc = jnp.concatenate(yframes, axis=0)  # (F, tp*W, D) bf16 in VMEM
+    if not join_f:
+        yc = jnp.concatenate(yframes, axis=0)  # (F, tp*W, D) bf16 in VMEM
 
     # -- temporal 3-tap mix across frames --
     tbias = tb_ref[0].astype(jnp.float32)
@@ -1677,7 +1783,6 @@ def _conv_tconv_kernel(
     xm1 = jnp.concatenate([zrow, yc[:-1]], axis=0).reshape(frames * m, d)
     xp1 = jnp.concatenate([yc[1:], zrow], axis=0).reshape(frames * m, d)
     x2 = yc.reshape(frames * m, d)
-    w0, w1, w2 = tw_ref[:d], tw_ref[d:2 * d], tw_ref[2 * d:]
 
     def tap(xs, wt):
         return jax.lax.dot_general(
@@ -1685,19 +1790,36 @@ def _conv_tconv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    y = tap(x2, w1) + tap(xm1, w0) + tap(xp1, w2)
-    y = y + tbias[None, :]
+    if join_t:
+        # one wide contraction: rows [w0; w1; w2] of tw_ref match the
+        # [xm1, x2, xp1] concat order; with join_s the host appended the
+        # skip kernels below the temporal taps
+        join = [xm1, x2, xp1]
+        if join_s:
+            for si, cs in enumerate(skip_cins):
+                join.append(
+                    skip_refs[si][0][:, :, 1:w + 1, :].reshape(
+                        frames * m, cs
+                    )
+                )
+        y = tap(jnp.concatenate(join, axis=1), tw_ref[:])
+        y = y + tbias[None, :]
+    else:
+        w0, w1, w2 = tw_ref[:d], tw_ref[d:2 * d], tw_ref[2 * d:]
+        y = tap(x2, w1) + tap(xm1, w0) + tap(xp1, w2)
+        y = y + tbias[None, :]
     y = y.reshape(frames * tp * w, d)
     # fold the 1x1 skip projection (sum over split parts) directly into
     # the temporal output: the projected residual never exists in HBM
-    for si, cs in enumerate(skip_cins):
-        xs_ref = skip_refs[2 * si]
-        ks_ref = skip_refs[2 * si + 1]
-        xs = xs_ref[0][:, :, 1:w + 1, :].reshape(frames * tp * w, cs)
-        y = y + jax.lax.dot_general(
-            xs, ks_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    if not join_s:
+        for si, cs in enumerate(skip_cins):
+            xs_ref = skip_refs[2 * si]
+            ks_ref = skip_refs[2 * si + 1]
+            xs = xs_ref[0][:, :, 1:w + 1, :].reshape(frames * tp * w, cs)
+            y = y + jax.lax.dot_general(
+                xs, ks_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     if skip_cins:
         y = y + sb_ref[0].astype(jnp.float32)[None, :]
     y = y.reshape(frames, tp, w, d)
@@ -1754,7 +1876,18 @@ def conv_tconv_band_rows(h: int, w: int, wp: int, cins, d: int,
         yc = frames * t * w * d * 2
         acc = frames * t * w * d * 4
         ftmp = (t + 2) * wp * max(cins) * 4 + t * w * d * 4
-        return weights + win + out + res + skip + yc + acc + ftmp
+        joinbuf = 0
+        if "t" in TAPJOIN:
+            # the wide-dot concat operand (V2A_TAPJOIN)
+            ks = sum(skip_cins) if "s" in TAPJOIN else 0
+            joinbuf = frames * t * w * (3 * d + ks) * 2
+        if "d" in TAPJOIN:
+            m_rows = (frames if "f" in TAPJOIN else 1) * t * w
+            joinbuf = max(joinbuf, m_rows * 3 * max(cins) * 2)
+        if "f" in TAPJOIN:
+            # whole-block affine output (bf16) + its f32 transient
+            joinbuf += frames * (t + 2) * wp * max(cins) * 6
+        return weights + win + out + res + skip + yc + acc + ftmp + joinbuf
 
     best = 0
     for t in range(1, h + 1):
@@ -1769,6 +1902,24 @@ def conv_tconv_band_rows(h: int, w: int, wp: int, cins, d: int,
 # single-part blocks in (K = 9*384 is deep enough to carry M=128)
 MEGA_MIN_M = int(os.environ.get("V2A_MEGA_MIN_M", "256"))
 MEGA_IM2COL = os.environ.get("V2A_MEGA_IM2COL", "0") == "1"
+
+# V2A_TAPJOIN: restructure skinny per-tap dots into fewer, wider-K
+# contractions (round-3 attack on the mega kernel's ~1.1 ms/call MXU
+# fill/drain residual, PERF.md round-2c microbench). Any subset of:
+#   "t" — temporal 3-tap join: one (M, 3D) x (3D, D) dot over the
+#         VMEM-resident conv output (no HBM concat — the round-2 failure
+#         mode) instead of three K=D dots + two VPU adds
+#   "s" — fold the 1x1 skip projections into the same wide dot (the host
+#         concatenates the skip kernels under the temporal taps)
+#   "d" — spatial per-column-shift join in the mega kernel: three
+#         (M, 3C) x (3C, D) dots (dj-major weight layout) instead of nine
+#         K=C tap dots
+#   "f" — frame-folded spatial taps in the mega kernel: the affine+SiLU
+#         applies to the whole (F, tp+2, Wp, C) block at once and each tap
+#         dot spans all frames (M = F*tp*W, 7x deeper) — 9 dots per part
+#         per band instead of 63
+# Read at call time (module attribute) so perf_lab can toggle it.
+TAPJOIN = os.environ.get("V2A_TAPJOIN", "")
 
 
 def fused_conv_tconv_padded(
@@ -1827,6 +1978,11 @@ def fused_conv_tconv_padded(
     def out_idx(bb, i):
         return (bb, 0, 1 + i * tp, 0, 0)
 
+    join_t = "t" in TAPJOIN
+    join_s = join_t and "s" in TAPJOIN and bool(skip_parts)
+    join_d = "d" in TAPJOIN
+    join_f = "f" in TAPJOIN
+
     in_specs = []
     args = []
     for x, kernel, a, b_ in parts:
@@ -1844,11 +2000,24 @@ def fused_conv_tconv_padded(
         )
         args.append(b_.astype(jnp.float32))
         in_specs.append(pl.BlockSpec((9 * c, d), lambda bb, i: (0, 0)))
-        args.append(kernel.astype(dtype).reshape(9 * c, d))
+        w9 = kernel.astype(dtype).reshape(3, 3, c, d)
+        if join_d:
+            # dj-major layout: row block dj*3C + di*C holds tap (di, dj),
+            # matching the kernel's per-column-shift concat order
+            w9 = w9.transpose(1, 0, 2, 3)
+        args.append(w9.reshape(9 * c, d))
     in_specs.append(pl.BlockSpec((1, d), lambda bb, i: (0, 0)))
     args.append(kbias.reshape(1, d))
-    in_specs.append(pl.BlockSpec((3 * d, d), lambda bb, i: (0, 0)))
-    args.append(tkernel.reshape(3 * d, d).astype(dtype))
+    tw = tkernel.reshape(3 * d, d).astype(dtype)
+    if join_s:
+        # append the skip kernels below the temporal taps: the kernel's
+        # wide dot contracts [xm1, x2, xp1, skip...] in one pass
+        tw = jnp.concatenate(
+            [tw] + [ks.reshape(xs.shape[-1], d).astype(dtype)
+                    for xs, ks in skip_parts], axis=0,
+        )
+    in_specs.append(pl.BlockSpec(tw.shape, lambda bb, i: (0, 0)))
+    args.append(tw)
     in_specs.append(pl.BlockSpec((1, d), lambda bb, i: (0, 0)))
     args.append(tbias.reshape(1, d))
     if emb is not None:
@@ -1865,8 +2034,9 @@ def fused_conv_tconv_padded(
             pl.BlockSpec((E(1), E(frames), E(tp), E(wp), E(cs)), out_idx)
         )
         args.append(xs)
-        in_specs.append(pl.BlockSpec((cs, d), lambda bb, i: (0, 0)))
-        args.append(ks.reshape(cs, d).astype(dtype))
+        if not join_s:
+            in_specs.append(pl.BlockSpec((cs, d), lambda bb, i: (0, 0)))
+            args.append(ks.reshape(cs, d).astype(dtype))
     if skip_parts:
         in_specs.append(pl.BlockSpec((1, d), lambda bb, i: (0, 0)))
         args.append(skip_bias.reshape(1, d))
@@ -1896,7 +2066,8 @@ def fused_conv_tconv_padded(
             _conv_tconv_kernel, tp=tp, h=h, w=w, wp=wp, cins=tuple(cins),
             d=d, frames=frames, silu=silu, has_emb=emb is not None,
             has_res=residual is not None, skip_cins=tuple(skip_cins),
-            want_stats=want_stats, im2col=im2col,
+            want_stats=want_stats, im2col=im2col, join_t=join_t,
+            join_s=join_s, join_d=join_d, join_f=join_f,
         ),
         grid=(b, h // tp),
         in_specs=in_specs,
