@@ -1016,3 +1016,85 @@ def test_tapjoin_variants_match_baseline(mode, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(gstats_t), np.asarray(wstats_t), rtol=1e-5, atol=1e-4
     )
+
+
+def test_fused_spatial_attention_padded_matches_block():
+    """The one-kernel padded attention == the XLA SpatialAttentionBlock on
+    the same params, with garbage pads masked and exact output stats."""
+    from v2a_tpu.models import video_unet
+    from v2a_tpu.models.video_unet import (
+        PaddedStream, SpatialAttentionBlock, pad_stream, unpad_stream,
+    )
+    from v2a_tpu.ops.resblock_kernels import padded_hw
+
+    b, f, h, w, c, ch = 2, 3, 8, 8, 64, 32
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, f, h, w, c)).astype(np.float32))
+    xf = np.asarray(x, np.float64).reshape(b, f, h * w, c)
+    stats = jnp.asarray(np.stack(
+        [xf.sum(axis=2), (xf * xf).sum(axis=2)], axis=2
+    ).astype(np.float32))
+
+    block = SpatialAttentionBlock(num_head_channels=ch)
+    params = block.init(jax.random.PRNGKey(1), x, stats=stats)
+    ref, ref_stats = block.apply(params, x, stats=stats, want_stats=True)
+
+    # poison the pad positions to prove in-kernel masking
+    ps = pad_stream(x)
+    hp, wp = padded_hw(h, w)
+    poisoned = ps.x + 1e3
+    poisoned = poisoned.at[:, :, 1:h + 1, 1:w + 1, :].set(
+        ps.x[:, :, 1:h + 1, 1:w + 1, :]
+    )
+    ps = PaddedStream(poisoned, (h, w))
+
+    old = video_unet.PERF_PALLAS_ATTN
+    video_unet.PERF_PALLAS_ATTN = True
+    try:
+        out, out_stats = block.apply(params, ps, stats=stats, want_stats=True)
+    finally:
+        video_unet.PERF_PALLAS_ATTN = old
+
+    assert isinstance(out, PaddedStream)
+    np.testing.assert_allclose(
+        np.asarray(unpad_stream(out)), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
+    # every pad position is zeroed (stricter than the garbage-row contract)
+    full = np.asarray(out.x)
+    interior_mask = np.zeros((hp, wp), bool)
+    interior_mask[1:h + 1, 1:w + 1] = True
+    assert np.all(full[:, :, ~interior_mask, :] == 0.0)
+    # emitted stats are the interior statistics of the output
+    np.testing.assert_allclose(
+        np.asarray(out_stats), np.asarray(ref_stats), atol=5e-3, rtol=5e-4
+    )
+
+
+def test_fused_spatial_attention_nonsquare_and_heads():
+    """640-channel 20-head case (the L4 shape class) at a non-square hw."""
+    from v2a_tpu.models import video_unet
+    from v2a_tpu.models.video_unet import (
+        SpatialAttentionBlock, pad_stream, unpad_stream,
+    )
+
+    b, f, h, w, c, ch = 1, 2, 4, 8, 96, 32
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(b, f, h, w, c)).astype(np.float32))
+    xf = np.asarray(x, np.float64).reshape(b, f, h * w, c)
+    stats = jnp.asarray(np.stack(
+        [xf.sum(axis=2), (xf * xf).sum(axis=2)], axis=2
+    ).astype(np.float32))
+
+    block = SpatialAttentionBlock(num_head_channels=ch)
+    params = block.init(jax.random.PRNGKey(1), x, stats=stats)
+    ref = block.apply(params, x, stats=stats)
+
+    old = video_unet.PERF_PALLAS_ATTN
+    video_unet.PERF_PALLAS_ATTN = True
+    try:
+        out = block.apply(params, pad_stream(x), stats=stats)
+    finally:
+        video_unet.PERF_PALLAS_ATTN = old
+    np.testing.assert_allclose(
+        np.asarray(unpad_stream(out)), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )

@@ -120,6 +120,12 @@ PERF_DOWNCONV = os.environ.get("V2A_DOWNCONV", "0") == "1"
 # machinery: pad_stream the tiny 6-channel input (0.03 ms) and the XLA
 # entry conv's {3,0,2,1} relayout copy + the L0 entry pad both vanish.
 PERF_ENTRY_PAD = os.environ.get("V2A_ENTRY_PAD", "0") == "1"
+# Spatial attention as ONE Pallas kernel on the padded stream
+# (`fused_spatial_attention_padded`): the unpad/pad slices, the GroupNorm
+# pass, and the next block's full-tensor statistics read all disappear.
+# Requires forwarded stats (the fused path always has them at the
+# attention levels).
+PERF_PALLAS_ATTN = os.environ.get("V2A_PALLAS_ATTN", "0") == "1"
 
 
 class PaddedStream:
@@ -398,6 +404,22 @@ class _NormParams(nn.Module):
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
         return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Parameter container matching nn.Dense's {kernel, bias} layout, for
+    the fused attention kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class _TemporalConvParams(nn.Module):
@@ -1278,9 +1300,42 @@ class SpatialAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, stats: Optional[jax.Array] = None
-    ) -> jax.Array:
+        self,
+        x: jax.Array,
+        stats: Optional[jax.Array] = None,
+        want_stats: bool = False,
+    ):
         was_padded = isinstance(x, PaddedStream)
+        if was_padded and PERF_PALLAS_ATTN and stats is not None:
+            # one-kernel path: GN affine + QKV + attention + proj +
+            # residual consumed/produced in the padded layout, emitting
+            # the output's interior statistics for the next block
+            from v2a_tpu.ops.resblock_kernels import (
+                fused_spatial_attention_padded,
+                stats_to_group_affine,
+            )
+
+            hh, ww = x.hw
+            bb, f, hp, wp, c = x.x.shape
+            scale, bias = _NormParams(c, name="norm")()
+            a, b_aff = stats_to_group_affine(
+                stats.reshape(bb * f, 2, c), scale, bias, hh * ww
+            )
+            wqkv, bqkv = _DenseParams(c * 3, name="qkv")(c)
+            wproj, bproj = _DenseParams(c, name="proj_out")(c)
+            out = fused_spatial_attention_padded(
+                x.x.reshape(bb * f, hp, wp, c), (hh, ww), a, b_aff,
+                wqkv, bqkv, wproj, bproj, self.num_head_channels,
+                want_stats=want_stats,
+                interpret=jax.default_backend() == "cpu",
+            )
+            if want_stats:
+                y, new_stats = out
+                return (
+                    PaddedStream(y.reshape(bb, f, hp, wp, c), (hh, ww)),
+                    new_stats.reshape(bb, f, 2, c),
+                )
+            return PaddedStream(out.reshape(bb, f, hp, wp, c), (hh, ww))
         if was_padded:
             # attention needs exact token sets: drop to the interior view
             # and re-enter the padded layout after (the forwarded stats
@@ -1313,7 +1368,17 @@ class SpatialAttentionBlock(nn.Module):
         out = out.reshape(b * f, h * w, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj_out")(out)
         result = (y + out).reshape(b, f, h, w, c)
-        return pad_stream(result) if was_padded else result
+        result = pad_stream(result) if was_padded else result
+        if want_stats:
+            # per-frame interior sum/sumsq of the OUTPUT (an XLA reduction
+            # fused into the residual add) so the next block keeps its
+            # forwarded-stats fast path instead of re-reading the tensor
+            of = (y + out).astype(jnp.float32).reshape(b, f, h * w, c)
+            new_stats = jnp.stack(
+                [of.sum(axis=2), (of * of).sum(axis=2)], axis=2
+            )
+            return result, new_stats
+        return result
 
 
 class Downsample3D(nn.Module):
@@ -1485,8 +1550,11 @@ class VideoUNet(nn.Module):
                     h = SpatialAttentionBlock(
                         self.num_head_channels, self.dtype,
                         self.use_pallas_gn, name=f"down_attn_{block_idx}",
-                    )(h, stats=st)
-                    st = None
+                    )(h, stats=st, want_stats=fused)
+                    if fused:
+                        h, st = h
+                    else:
+                        st = None
                 hs.append((h, st))
                 block_idx += 1
             if level != len(self.channel_mult) - 1:
@@ -1518,8 +1586,11 @@ class VideoUNet(nn.Module):
         h = SpatialAttentionBlock(
             self.num_head_channels, self.dtype, self.use_pallas_gn,
             name="mid_attn",
-        )(h, stats=st)
-        st = None
+        )(h, stats=st, want_stats=fused)
+        if fused:
+            h, st = h
+        else:
+            st = None
         h = ResBlock3D(
             mid_ch, self.dropout, self.use_scale_shift_norm, self.dtype,
             self.use_pallas_gn, fused, name="mid_res1",
@@ -1567,8 +1638,11 @@ class VideoUNet(nn.Module):
                     h = SpatialAttentionBlock(
                         self.num_head_channels, self.dtype,
                         self.use_pallas_gn, name=f"up_attn_{block_idx}",
-                    )(h, stats=st)
-                    st = None
+                    )(h, stats=st, want_stats=fused)
+                    if fused:
+                        h, st = h
+                    else:
+                        st = None
                 if level and i == self.num_res_blocks:
                     up_hw = hh * ww * 4
                     h = Upsample3D(

@@ -32,6 +32,7 @@ two (the U-Net's folded H*W). Weights use the flax Conv temporal layout
 from __future__ import annotations
 
 import functools
+import math
 import os
 from typing import Optional, Tuple
 
@@ -1919,7 +1920,10 @@ MEGA_IM2COL = os.environ.get("V2A_MEGA_IM2COL", "0") == "1"
 #         dot spans all frames (M = F*tp*W, 7x deeper) — 9 dots per part
 #         per band instead of 63
 # Read at call time (module attribute) so perf_lab can toggle it.
-TAPJOIN = os.environ.get("V2A_TAPJOIN", "")
+# Default "f": on-chip sweep (PERF.md round 3) measured 143.3 ms/fwd vs
+# 152.0 for the per-tap baseline; "t"/"d" neutral-to-small, "ts" regresses.
+# Parity gate: scripts/verify_onchip.py `tapjoin` config, PASS.
+TAPJOIN = os.environ.get("V2A_TAPJOIN", "f")
 
 
 def fused_conv_tconv_padded(
@@ -2793,3 +2797,176 @@ def spatial_conv3x3(
         ],
         interpret=interpret,
     )(xp, kernel.astype(xp.dtype), bias.reshape(1, d))
+
+
+# -- fused spatial attention on the padded stream (round 3) -------------------
+
+
+def _attn_padded_kernel(
+    x_ref, a_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    o_ref, stats_ref=None,
+    *, hp, wp, h, w, n_heads, ch, want_stats,
+):
+    """One (batch*frame) sample of padded-stream spatial self-attention.
+
+    Layout strategy (Mosaic limits, CLAUDE.md): QKV is computed TRANSPOSED
+    — qkvT (3C, M) = dot(Wqkv^T-contraction, xn) — so the 32-wide per-head
+    slices land on the 8-aligned SUBLANE dim (lane slices would need
+    128-alignment). Logits/out use transposed-contraction dot_generals the
+    MXU consumes natively. Pad tokens are masked out of the softmax with a
+    lane-iota interior mask; outputs are zeroed at every pad position
+    (stricter than the PaddedStream contract), which also makes the
+    emitted per-frame sum/sumsq statistics exact interior statistics.
+    """
+    nn_ = pl.program_id(0)
+    n = a_ref.shape[0]
+    m = hp * wp
+    c = n_heads * ch
+    dtype = x_ref.dtype
+
+    # per-sample collapsed GroupNorm affine via one-hot row select
+    # (dynamic sublane indexing is not supported; the dot is free)
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) == nn_
+    ).astype(jnp.float32)
+    a_row = jax.lax.dot_general(
+        sel, a_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, C)
+    b_row = jax.lax.dot_general(
+        sel, b_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    x = x_ref[0].reshape(m, c)  # (M, C) leading-dims merge
+    xn = (x.astype(jnp.float32) * a_row + b_row).astype(dtype)
+
+    # qkvT (3C, M): contract C of Wqkv (C, 3C) with C of xn (M, C)
+    qkvT = jax.lax.dot_general(
+        wqkv_ref[:], xn, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:].astype(jnp.float32)  # (3C, 1) broadcasts over lanes
+    qkvT = qkvT.astype(dtype)
+
+    # interior mask over the M token positions (lane iota; no reshapes)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    row = idx // wp
+    col = idx - row * wp
+    interior = (
+        (row >= 1) & (row <= h) & (col >= 1) & (col <= w)
+    )
+    neg = jnp.where(interior, 0.0, -1e30)  # (1, M) additive key mask
+
+    scale = 1.0 / math.sqrt(math.sqrt(ch))
+    outs = []
+    for hd in range(n_heads):
+        base = hd * 3 * ch
+        q_t = qkvT[base:base + ch, :]             # (ch, M)
+        k_t = qkvT[base + ch:base + 2 * ch, :]
+        v_t = qkvT[base + 2 * ch:base + 3 * ch, :]
+        # logits (M, M): contract the ch sublanes of both operands
+        logits = jax.lax.dot_general(
+            q_t, k_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * scale)
+        logits = logits + neg  # mask pad KEYS
+        lmax = jnp.max(logits, axis=-1, keepdims=True)
+        ex = jnp.exp(logits - lmax)
+        probs = (ex / jnp.sum(ex, axis=-1, keepdims=True)).astype(dtype)
+        # out_h (M, ch): contract probs' key dim with v_t's lane dim
+        outs.append(jax.lax.dot_general(
+            probs, v_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype))
+    att = jnp.concatenate(outs, axis=-1)  # (M, C) head-major
+
+    proj = jax.lax.dot_general(
+        att, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[:].astype(jnp.float32)  # (1, C) broadcasts over sublanes
+
+    y = x.astype(jnp.float32) + proj
+    y = y * interior.reshape(m, 1).astype(jnp.float32)  # zero ALL pads
+    o_ref[0] = y.reshape(hp, wp, c).astype(dtype)
+    if want_stats:
+        stats_ref[0, 0:1, :] = jnp.sum(y, axis=0, keepdims=True)
+        stats_ref[0, 1:2, :] = jnp.sum(y * y, axis=0, keepdims=True)
+
+
+def fused_spatial_attention_padded(
+    x: jax.Array,
+    hw: Tuple[int, int],
+    a: jax.Array,
+    b: jax.Array,
+    wqkv: jax.Array,
+    bqkv: jax.Array,
+    wproj: jax.Array,
+    bproj: jax.Array,
+    num_head_channels: int,
+    want_stats: bool = False,
+    interpret: bool = False,
+):
+    """Spatial self-attention (`unet.py:263-330` semantics: legacy
+    reshape-then-split QKV head layout, 1/sqrt(sqrt(ch)) double scaling,
+    fp32 softmax, raw-input residual) consuming AND producing the padded
+    (N, Hp, Wp, C) stream in one kernel: the unpad/pad slices, the
+    standalone GroupNorm pass, and the next block's full-tensor statistics
+    read all disappear.
+
+    Args:
+      x: (N, Hp, Wp, C) padded stream (N = B*F folded).
+      hw: interior (H, W).
+      a, b: (N, C) fp32 collapsed GroupNorm affine (from
+        `stats_to_group_affine` with n_per_channel = H*W).
+      wqkv/bqkv: (C, 3C), (3C,); wproj/bproj: (C, C), (C,).
+      want_stats: also return (N, 2, C) interior sum/sumsq of the OUTPUT,
+        so the downstream ResBlock keeps its forwarded-stats fast path.
+    Returns (N, Hp, Wp, C) with every pad position zeroed [, stats].
+    """
+    h, w = hw
+    hp, wp = padded_hw(h, w)
+    n, xp_h, xp_w, c = x.shape
+    if (xp_h, xp_w) != (hp, wp):
+        raise ValueError(f"x {x.shape} vs padded ({hp},{wp})")
+    if c % num_head_channels:
+        raise ValueError(f"C={c} not divisible by ch={num_head_channels}")
+    n_heads = c // num_head_channels
+    dtype = x.dtype
+
+    out_shape = [jax.ShapeDtypeStruct((n, hp, wp, c), dtype)]
+    out_specs = [pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0))]
+    if want_stats:
+        out_shape.append(jax.ShapeDtypeStruct((n, 2, c), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 2, c), lambda i: (i, 0, 0)))
+
+    res = pl.pallas_call(
+        functools.partial(
+            _attn_padded_kernel, hp=hp, wp=wp, h=h, w=w,
+            n_heads=n_heads, ch=num_head_channels, want_stats=want_stats,
+        ),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((n, c), lambda i: (0, 0)),
+            pl.BlockSpec((n, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((3 * c, 1), lambda i: (0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=out_specs if want_stats else out_specs[0],
+        out_shape=out_shape if want_stats else out_shape[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(
+        x,
+        a.astype(jnp.float32),
+        b.astype(jnp.float32),
+        wqkv.astype(dtype),
+        bqkv.reshape(3 * c, 1).astype(jnp.float32),
+        wproj.astype(dtype),
+        bproj.reshape(1, c).astype(jnp.float32),
+    )
+    return res if want_stats else (res, None)[0]
