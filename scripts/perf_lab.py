@@ -764,6 +764,18 @@ def main():
             video_unet.PERF_SKIP1X1_DOT = False
             video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
             continue
+        if name == "fused_attn":
+            # shipped defaults + the one-kernel padded spatial attention
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = defaults[0]
+            video_unet.PERF_SKIP1X1_DOT = defaults[1]
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = defaults[2]
+            video_unet.PERF_PALLAS_ATTN = True
+            results[name] = time_forward(build(fused=True), name)
+            video_unet.PERF_PALLAS_ATTN = False
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_SKIP1X1_DOT = False
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
+            continue
         if name == "fused_mega":
             # padded stream + the conv+tconv mega-kernel
             video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = defaults[0]

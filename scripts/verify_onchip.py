@@ -41,7 +41,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIGS = {
     "unfused": {"V2A_FUSED": "0", "V2A_PADDED_STREAM": "0"},
     "fused_nopad": {"V2A_FUSED": "1", "V2A_PADDED_STREAM": "0"},
-    "default": {},  # shipped defaults: fused + padded stream + mega + upconv
+    # shipped defaults: fused + padded stream + mega + upconv + tapjoin-f
+    "default": {},
+    # non-tapjoin per-tap dot path (still the fallback; keep it gated)
+    "tapjoin_off": {"V2A_TAPJOIN": ""},
+    # round-3 fused spatial attention (Pallas one-kernel path, PERF.md)
+    "pallas_attn": {"V2A_PALLAS_ATTN": "1"},
 }
 
 BATCH = 8  # production operating point: kernel/band selection depends on it
