@@ -45,8 +45,8 @@ CONFIGS = {
     "default": {},
     # non-tapjoin per-tap dot path (still the fallback; keep it gated)
     "tapjoin_off": {"V2A_TAPJOIN": ""},
-    # round-3 fused spatial attention (Pallas one-kernel path, PERF.md)
-    "pallas_attn": {"V2A_PALLAS_ATTN": "1"},
+    # fused spatial attention OFF (the XLA attention fallback, still gated)
+    "pallas_attn_off": {"V2A_PALLAS_ATTN": "0"},
 }
 
 BATCH = 8  # production operating point: kernel/band selection depends on it

@@ -201,3 +201,35 @@ def test_policy_learns_constant_action():
         params, opt_state, loss = step(params, opt_state, sub)
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9
+
+
+def test_vmap_enc_matches_per_key_path(small_policy, monkeypatch):
+    """The stacked-trunk vmapped encoder (PERF_VMAP_ENC) must reproduce the
+    per-key MultiImageObsEncoder path on the same params: same features,
+    same loss, same DDIM rollout."""
+    from v2a_tpu.models import policy as policy_mod
+
+    policy, params = small_policy
+    batch = _batch(b=3)
+    rng = jax.random.PRNGKey(7)
+
+    ref_feat = policy.encode_obs(params, batch["obs"])
+    ref_loss = policy.loss(params, rng, batch)
+    ref_act = policy.predict_action(params, rng, batch["obs"])
+
+    monkeypatch.setattr(policy_mod, "PERF_VMAP_ENC", True)
+    got_feat = policy.encode_obs(params, batch["obs"])
+    got_loss = policy.loss(params, rng, batch)
+    got_act = policy.predict_action(params, rng, batch["obs"])
+
+    np.testing.assert_allclose(
+        np.asarray(got_feat), np.asarray(ref_feat), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(got_loss), float(ref_loss), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_act["action_pred"]),
+        np.asarray(ref_act["action_pred"]),
+        rtol=1e-4, atol=1e-4,
+    )

@@ -22,6 +22,7 @@ Batch convention (channels-last):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -36,10 +37,19 @@ from v2a_tpu.models.normalizer import (
     lb_action_normalizer,
 )
 from v2a_tpu.models.unet1d import ConditionalUnet1D
-from v2a_tpu.models.vision import MultiImageObsEncoder
+from v2a_tpu.models.vision import MultiImageObsEncoder, VisualCore
 from v2a_tpu.ops.action_scheduler import DDIMScheduler, DDPMScheduler
 
 Params = Any
+
+# Run the per-key VisualCore trunks as ONE vmapped trunk over a stacked key
+# axis: jax's conv batching rule merges the key dim into a single grouped
+# convolution (feature_group_count = n_keys), so every ResNet layer issues
+# one conv with doubled M instead of two sequential small convs. Parameter
+# layout is untouched — the per-key subtrees are stacked functionally at
+# apply time (weight-stack traffic is ~90 MB/step of HBM, noise next to the
+# op-count halving). Off by default pending on-chip measurement (PERF.md).
+PERF_VMAP_ENC = os.environ.get("V2A_VMAP_ENC", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -176,9 +186,36 @@ class DiffusionPolicy:
     def _normalize_obs(self, obs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         return {k: self.image_norm.normalize(v) for k, v in obs.items()}
 
+    def _encode(self, params: Params, nobs: Dict[str, jax.Array]) -> jax.Array:
+        """Obs-encoder apply, optionally via the vmapped stacked-trunk fast
+        path (PERF_VMAP_ENC). Both paths consume the SAME parameter tree
+        (per-key `enc_<key>` subtrees) and produce bitwise-identical
+        sorted-key concatenation semantics
+        (`multi_image_obs_encoder.py:130,144-196`)."""
+        cfg = self.config
+        if not PERF_VMAP_ENC or len(cfg.obs_keys) < 2:
+            return self.nets.apply(params, nobs, method=PolicyNets.encode_obs)
+        keys = sorted(cfg.obs_keys)
+        enc = params["params"]["obs_encoder"]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[enc[f"enc_{k}"] for k in keys]
+        )
+        imgs = jnp.stack(
+            [nobs[k].astype(cfg.compute_dtype) for k in keys]
+        )  # (K, B, H, W, 3)
+        vc = VisualCore(
+            feature_dimension=cfg.obs_feature_dim,
+            num_kp=cfg.num_kp,
+            dtype=cfg.compute_dtype,
+        )
+        feats = jax.vmap(lambda p, x: vc.apply({"params": p}, x))(
+            stacked, imgs
+        )  # (K, B, D)
+        return jnp.concatenate(list(feats), axis=-1)
+
     def encode_obs(self, params: Params, obs: Dict[str, jax.Array]) -> jax.Array:
         nobs = self._normalize_obs(obs)
-        return self.nets.apply(params, nobs, method=PolicyNets.encode_obs)
+        return self._encode(params, nobs)
 
     # -- training loss (diffusion_unet_image_policy.py:204-277) -----------
 
@@ -193,7 +230,7 @@ class DiffusionPolicy:
         nactions = self.action_norm.normalize(batch["action"])
         b = nactions.shape[0]
 
-        global_cond = self.nets.apply(params, nobs, method=PolicyNets.encode_obs)
+        global_cond = self._encode(params, nobs)
 
         t_rng, noise_rng = jax.random.split(rng)
         timesteps = jax.random.randint(t_rng, (b,), 0, cfg.num_train_timesteps)
@@ -220,7 +257,7 @@ class DiffusionPolicy:
         cfg = self.config
         nobs = self._normalize_obs(obs)
         b = next(iter(obs.values())).shape[0]
-        global_cond = self.nets.apply(params, nobs, method=PolicyNets.encode_obs)
+        global_cond = self._encode(params, nobs)
 
         shape = (b, cfg.horizon, cfg.action_dim)
         rng, init_rng = jax.random.split(rng)

@@ -124,8 +124,9 @@ PERF_ENTRY_PAD = os.environ.get("V2A_ENTRY_PAD", "0") == "1"
 # (`fused_spatial_attention_padded`): the unpad/pad slices, the GroupNorm
 # pass, and the next block's full-tensor statistics read all disappear.
 # Requires forwarded stats (the fused path always has them at the
-# attention levels).
-PERF_PALLAS_ATTN = os.environ.get("V2A_PALLAS_ATTN", "0") == "1"
+# attention levels). Default on: −2.7 ms/fwd on-chip and a PASS in the
+# verify_onchip parity gate (PERF.md round 3).
+PERF_PALLAS_ATTN = os.environ.get("V2A_PALLAS_ATTN", "1") == "1"
 
 
 class PaddedStream:
