@@ -1920,10 +1920,16 @@ MEGA_IM2COL = os.environ.get("V2A_MEGA_IM2COL", "0") == "1"
 #         dot spans all frames (M = F*tp*W, 7x deeper) — 9 dots per part
 #         per band instead of 63
 # Read at call time (module attribute) so perf_lab can toggle it.
-# Default "f": on-chip sweep (PERF.md round 3) measured 143.3 ms/fwd vs
-# 152.0 for the per-tap baseline; "t"/"d" neutral-to-small, "ts" regresses.
-# Parity gate: scripts/verify_onchip.py `tapjoin` config, PASS.
-TAPJOIN = os.environ.get("V2A_TAPJOIN", "f")
+# Default OFF (per-tap dots): the standalone one-fwd sweep (PERF.md
+# round 3) measured "f" at 143.3 ms/fwd vs 152.0 per-tap, but the
+# headline DDIM-100 chain — the number that matters, median over 7
+# chained iterations — runs ~1.6 ms/fwd FASTER with per-tap dots
+# (11.018 s/iter vs 11.180; attn on: 11.020 vs 11.268). Single-shot
+# raw-ms readings sit inside the axon tunnel's multi-ms drift band;
+# the chain medians are reproducible to ±0.01 s. Variants stay
+# available via V2A_TAPJOIN (t/s/d/f subsets, see above); parity gate
+# covers both settings (scripts/verify_onchip.py, PASS).
+TAPJOIN = os.environ.get("V2A_TAPJOIN", "")
 
 
 def fused_conv_tconv_padded(
@@ -2838,7 +2844,21 @@ def _attn_padded_kernel(
         preferred_element_type=jnp.float32,
     )
 
+    # interior mask over the M token positions (lane iota; no reshapes)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    row = idx // wp
+    col = idx - row * wp
+    interior = (
+        (row >= 1) & (row <= h) & (col >= 1) & (col <= w)
+    )
+    interior_m1 = interior.reshape(m, 1)
+
     x = x_ref[0].reshape(m, c)  # (M, C) leading-dims merge
+    # pad positions hold GARBAGE by the PaddedStream contract (the
+    # stride-2 downconv producer never writes them — they can be NaN/Inf,
+    # which additive masks and multiplicative zeroing do NOT remove), so
+    # select them to zero before anything mixes tokens
+    x = jnp.where(interior_m1, x, jnp.zeros_like(x))
     xn = (x.astype(jnp.float32) * a_row + b_row).astype(dtype)
 
     # qkvT (3C, M): contract C of Wqkv (C, 3C) with C of xn (M, C)
@@ -2848,13 +2868,6 @@ def _attn_padded_kernel(
     ) + bqkv_ref[:].astype(jnp.float32)  # (3C, 1) broadcasts over lanes
     qkvT = qkvT.astype(dtype)
 
-    # interior mask over the M token positions (lane iota; no reshapes)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
-    row = idx // wp
-    col = idx - row * wp
-    interior = (
-        (row >= 1) & (row <= h) & (col >= 1) & (col <= w)
-    )
     neg = jnp.where(interior, 0.0, -1e30)  # (1, M) additive key mask
 
     scale = 1.0 / math.sqrt(math.sqrt(ch))
@@ -2886,7 +2899,8 @@ def _attn_padded_kernel(
     ) + bproj_ref[:].astype(jnp.float32)  # (1, C) broadcasts over sublanes
 
     y = x.astype(jnp.float32) + proj
-    y = y * interior.reshape(m, 1).astype(jnp.float32)  # zero ALL pads
+    # select (not multiply): zero ALL pads even against non-finite proj
+    y = jnp.where(interior_m1, y, jnp.zeros_like(y))
     o_ref[0] = y.reshape(hp, wp, c).astype(dtype)
     if want_stats:
         stats_ref[0, 0:1, :] = jnp.sum(y, axis=0, keepdims=True)
