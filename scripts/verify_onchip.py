@@ -41,10 +41,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIGS = {
     "unfused": {"V2A_FUSED": "0", "V2A_PADDED_STREAM": "0"},
     "fused_nopad": {"V2A_FUSED": "1", "V2A_PADDED_STREAM": "0"},
-    # shipped defaults: fused + padded stream + mega + upconv + tapjoin-f
+    # shipped defaults: fused + padded stream + mega + upconv + per-tap
+    # dots + fused spatial attention (the chain-fastest config, PERF.md)
     "default": {},
-    # non-tapjoin per-tap dot path (still the fallback; keep it gated)
-    "tapjoin_off": {"V2A_TAPJOIN": ""},
+    # frame-folded tap-join variant (available via V2A_TAPJOIN; keep gated)
+    "tapjoin_f": {"V2A_TAPJOIN": "f"},
     # fused spatial attention OFF (the XLA attention fallback, still gated)
     "pallas_attn_off": {"V2A_PALLAS_ATTN": "0"},
 }
