@@ -525,8 +525,14 @@ def trace_forward(fused=True, topk=30):
     _trace_rollup(run_once, topk=topk)
 
 
-def trace_train(topk=30):
-    """xplane trace of the fused policy train step (bench_train's program)."""
+def trace_train(topk=30, chain=0):
+    """xplane trace of the fused policy train step (bench_train's program).
+
+    With chain=N > 0, traces a lax.scan of N sequential steps in ONE
+    compiled program (bench_train's round-3 chained methodology) — the
+    per-step device profile without the axon tunnel's per-dispatch gaps;
+    printed ms are divided by N to stay per-step.
+    """
     from v2a_tpu.models.policy import DiffusionPolicy, PolicyConfig
     from v2a_tpu.train.train_state import (
         EMAConfig, OptimizerConfig, TrainState, make_optimizer,
@@ -539,7 +545,7 @@ def trace_train(topk=30):
     params = policy.init(jax.random.PRNGKey(0))
     tx = make_optimizer(OptimizerConfig())
     state = TrainState.create(params, tx)
-    step = jax.jit(make_train_step(policy.loss, tx, EMAConfig()))
+    train_step = make_train_step(policy.loss, tx, EMAConfig())
     h, w = cfg.image_size
     rs = np.random.RandomState(0)
     batch_data = {
@@ -554,6 +560,29 @@ def trace_train(topk=30):
     }
     rng = jax.random.PRNGKey(1)
 
+    if chain:
+        n = int(chain)
+
+        def chained(st, key, batch_const):
+            def body(carry, i):
+                out = train_step(carry, jax.random.fold_in(key, i), batch_const)
+                return out.state, out.loss
+
+            st, losses = jax.lax.scan(body, st, jnp.arange(n))
+            return st, losses[-1]
+
+        chain_fn = jax.jit(chained, donate_argnums=(0,))
+        holder = {"state": state}
+
+        def run_once():
+            holder["state"], loss = chain_fn(holder["state"], rng, batch_data)
+            np.asarray(loss)
+
+        _trace_rollup(run_once, topk=topk, per_run=n)
+        return
+
+    step = jax.jit(train_step)
+
     def run_once():
         _s, loss, _g = step(state, rng, batch_data)
         np.asarray(loss)
@@ -561,7 +590,8 @@ def trace_train(topk=30):
     _trace_rollup(run_once, topk=topk)
 
 
-def _trace_rollup(run_once, topk=30):
+def _trace_rollup(run_once, topk=30, per_run=1):
+    div = 3 * per_run
     import glob
     import tempfile
 
@@ -596,22 +626,22 @@ def _trace_rollup(run_once, topk=30):
                     ops = line_ops.setdefault(line.name, {})
                     ops[name] = ops.get(name, 0) + ev.duration_ps
     ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:topk]
-    total_ms = sum(totals.values()) / 1e9 / 3
+    total_ms = sum(totals.values()) / 1e9 / div
     print(f"trace: {len(totals)} distinct ops, {total_ms:.1f} ms "
           f"summed/fwd (overlaps double-count)")
     for name, ps in ranked:
-        print(f"  {ps / 1e9 / 3:8.2f} ms  {name[:110]}")
+        print(f"  {ps / 1e9 / div:8.2f} ms  {name[:110]}")
     # per-line view: the compute line's sum approximates wall time; DMA
     # lines overlap it. Top ops of each busy line, copies separated.
     print("-- per-line totals (ms/fwd) --")
     for lname, ps in sorted(line_totals.items(), key=lambda kv: -kv[1]):
-        print(f"  {ps / 1e9 / 3:8.1f}  {lname}")
+        print(f"  {ps / 1e9 / div:8.1f}  {lname}")
     for lname, ps in sorted(line_totals.items(), key=lambda kv: -kv[1])[:4]:
         print(f"-- top ops on line '{lname}' --")
         for name, p in sorted(
             line_ops[lname].items(), key=lambda kv: -kv[1]
         )[:15]:
-            print(f"  {p / 1e9 / 3:8.2f} ms  {name[:100]}")
+            print(f"  {p / 1e9 / div:8.2f} ms  {name[:100]}")
 
     # grouped serialized-line view: ops on the compute line ("XLA Ops")
     # summed by cleaned name (strip %, the "= ..." tail, and trailing .N) —
@@ -620,7 +650,7 @@ def _trace_rollup(run_once, topk=30):
     import re as _re
 
     busy = [ln for ln in line_totals
-            if "Async" not in ln and ln not in ("XLA Modules",)]
+            if "Async" not in ln and ln not in ("XLA Modules", "Steps")]
     if busy:
         lname = max(busy, key=lambda ln: line_totals[ln])
         groups = {}
@@ -630,7 +660,7 @@ def _trace_rollup(run_once, topk=30):
             groups[g] = groups.get(g, 0) + p
         print(f"-- grouped ops on line '{lname}' (ms/fwd) --")
         for g, p in sorted(groups.items(), key=lambda kv: -kv[1])[:40]:
-            print(f"  {p / 1e9 / 3:8.2f} ms  {g[:100]}")
+            print(f"  {p / 1e9 / div:8.2f} ms  {g[:100]}")
 
     # category rollup: convs / pallas kernels / pure-relayout fusions /
     # other fusions / async copies
@@ -641,7 +671,7 @@ def _trace_rollup(run_once, topk=30):
         r"fusion\([^)]*\{([\d,]+):"  # input layout
     )
     for name, ps in totals.items():
-        ms = ps / 1e9 / 3
+        ms = ps / 1e9 / div
         if "convolution" in name or "conv_general" in name:
             cat = "convolution"
         elif "temporal_conv_fused" in name or "tconv" in name:
