@@ -525,6 +525,59 @@ def trace_forward(fused=True, topk=30):
     _trace_rollup(run_once, topk=topk)
 
 
+def trace_chain(steps=20, topk=30):
+    """Trace the HEADLINE program — the scanned DDIM chain exactly as
+    bench.py compiles it (batch 8, bf16, shipped kernel defaults) — and
+    print per-STEP device attribution (ms divided by `steps`).
+
+    Round-3 lesson: standalone one-forward numbers (trace_forward and the
+    raw-ms sweeps) do not predict in-chain behavior — tap-join won 8.7 ms
+    standalone and lost 1.6 ms in-chain. Kernel decisions should be read
+    off this view.
+    """
+    from v2a_tpu.ops.gaussian_diffusion import GaussianDiffusion
+    from v2a_tpu.ops.schedules import DiffusionSchedule
+
+    unet = build(fused=True)
+    hw = HW if jax.devices()[0].platform != "cpu" else 32
+    x_probe = jnp.zeros((1, FRAMES, hw, hw, 6))
+    shapes = jax.eval_shape(
+        lambda r: unet.init(
+            r, x_probe, jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, TOKENS, 512)),
+        ),
+        jax.random.PRNGKey(0),
+    )
+    rngs = iter(jax.random.split(jax.random.PRNGKey(0), 10_000))
+    params = jax.tree_util.tree_map(
+        lambda s: jax.random.normal(next(rngs), s.shape, s.dtype) * 0.02,
+        shapes,
+    )
+    default_unroll = "1" if video_unet.PERF_PADDED_STREAM else "4"
+    diffusion = GaussianDiffusion(
+        schedule=DiffusionSchedule.create(100, "cosine"),
+        objective="pred_v", sampling_timesteps=steps,
+        scan_unroll=int(os.environ.get("V2A_SCAN_UNROLL", default_unroll)),
+    )
+    rng = jax.random.PRNGKey(42)
+    x_cond = jax.random.uniform(rng, (BATCH, 1, hw, hw, 3)) * 2.0 - 1.0
+    task_embed = jax.random.normal(rng, (BATCH, TOKENS, 512)) * 0.1
+
+    @jax.jit
+    def sample(params, rng):
+        return diffusion.sample(
+            lambda x, t, e: unet.apply(params, x, t, e),
+            rng, (BATCH, FRAMES, hw, hw, 3), x_cond, task_embed,
+        )
+
+    checksum = jax.jit(jnp.sum)
+
+    def run_once():
+        np.asarray(checksum(sample(params, rng)))
+
+    _trace_rollup(run_once, topk=topk, per_run=steps, runs=1)
+
+
 def trace_train(topk=30, chain=0):
     """xplane trace of the fused policy train step (bench_train's program).
 
@@ -590,8 +643,8 @@ def trace_train(topk=30, chain=0):
     _trace_rollup(run_once, topk=topk)
 
 
-def _trace_rollup(run_once, topk=30, per_run=1):
-    div = 3 * per_run
+def _trace_rollup(run_once, topk=30, per_run=1, runs=3):
+    div = runs * per_run
     import glob
     import tempfile
 
@@ -599,7 +652,7 @@ def _trace_rollup(run_once, topk=30, per_run=1):
 
     logdir = tempfile.mkdtemp(prefix="v2a_trace_")
     with jax.profiler.trace(logdir):
-        for _ in range(3):
+        for _ in range(runs):
             run_once()
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
@@ -741,6 +794,19 @@ def main():
             continue
         if name == "trace_train":
             trace_train()
+            continue
+        if name == "trace_train_chain":
+            trace_train(chain=20)
+            continue
+        if name == "trace_chain":
+            # the HEADLINE program under the shipped defaults
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = defaults[0]
+            video_unet.PERF_SKIP1X1_DOT = defaults[1]
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = defaults[2]
+            trace_chain()
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_SKIP1X1_DOT = False
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
             continue
         if name == "trace_default":
             # the shipped defaults (all-level banded + dot1x1)
