@@ -1070,6 +1070,50 @@ def test_fused_spatial_attention_padded_matches_block():
     )
 
 
+def test_fused_spatial_attention_survives_nan_pads():
+    """Pad rows can be NaN (the stride-2 downconv producer never writes
+    them; interpret mode fills them with NaN). The round-3 regression:
+    additive key masks (`logits + -1e30`) and multiplicative zeroing
+    (`y * mask`) both PRESERVE NaN, poisoning every interior query via
+    the softmax. The kernel must select pads away (`jnp.where`)."""
+    from v2a_tpu.models import video_unet
+    from v2a_tpu.models.video_unet import (
+        PaddedStream, SpatialAttentionBlock, pad_stream, unpad_stream,
+    )
+
+    b, f, h, w, c, ch = 1, 2, 8, 8, 64, 32
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(b, f, h, w, c)).astype(np.float32))
+    xf = np.asarray(x, np.float64).reshape(b, f, h * w, c)
+    stats = jnp.asarray(np.stack(
+        [xf.sum(axis=2), (xf * xf).sum(axis=2)], axis=2
+    ).astype(np.float32))
+
+    block = SpatialAttentionBlock(num_head_channels=ch)
+    params = block.init(jax.random.PRNGKey(1), x, stats=stats)
+    ref = block.apply(params, x, stats=stats)
+
+    ps = pad_stream(x)
+    poisoned = jnp.full_like(ps.x, jnp.nan)
+    poisoned = poisoned.at[:, :, 1:h + 1, 1:w + 1, :].set(
+        ps.x[:, :, 1:h + 1, 1:w + 1, :]
+    )
+    ps = PaddedStream(poisoned, (h, w))
+
+    old = video_unet.PERF_PALLAS_ATTN
+    video_unet.PERF_PALLAS_ATTN = True
+    try:
+        out = block.apply(params, ps, stats=stats)
+    finally:
+        video_unet.PERF_PALLAS_ATTN = old
+
+    got = np.asarray(unpad_stream(out))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4, rtol=2e-4)
+    # pads come out zeroed even when they went in as NaN
+    assert np.all(np.nan_to_num(np.asarray(out.x), nan=-1.0)[:, :, 0, :, :] == 0.0)
+
+
 def test_fused_spatial_attention_nonsquare_and_heads():
     """640-channel 20-head case (the L4 shape class) at a non-square hw."""
     from v2a_tpu.models import video_unet
