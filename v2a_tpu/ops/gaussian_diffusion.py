@@ -299,12 +299,22 @@ class GaussianDiffusion:
             )
             alpha = acp[time]
             alpha_next = jnp.where(time_next < 0, 1.0, acp[jnp.maximum(time_next, 0)])
-            sigma = eta * jnp.sqrt(
-                (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
-            )
-            c = jnp.sqrt(jnp.maximum(1.0 - alpha_next - sigma**2, 0.0))
-            noise = jax.random.normal(step_rng, shape, dtype=jnp.float32)
-            stepped = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+            if eta == 0.0:
+                # deterministic DDIM: sigma is exactly zero, but XLA cannot
+                # fold `0 * sqrt(...)` (NaN semantics) or the threefry that
+                # feeds `sigma * noise` — skip both at trace time so the
+                # chain never pays per-step RNG over the full video tensor
+                c = jnp.sqrt(jnp.maximum(1.0 - alpha_next, 0.0))
+                stepped = x_start * jnp.sqrt(alpha_next) + c * pred_noise
+            else:
+                sigma = eta * jnp.sqrt(
+                    (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
+                )
+                c = jnp.sqrt(jnp.maximum(1.0 - alpha_next - sigma**2, 0.0))
+                noise = jax.random.normal(step_rng, shape, dtype=jnp.float32)
+                stepped = (
+                    x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+                )
             # at the final (t, -1) pair the reference returns x_start directly
             img = jnp.where(time_next < 0, x_start, stepped)
             return img, None
