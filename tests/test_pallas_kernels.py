@@ -947,7 +947,9 @@ def test_spatial_conv3x3_matches_flax_conv():
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=1e-4)
 
 
-@pytest.mark.parametrize("mode", ["t", "ts", "d", "tsd", "f", "fd", "fdts"])
+@pytest.mark.parametrize(
+    "mode", ["t", "ts", "d", "tsd", "f", "fd", "fdts", "g", "gd", "gdts"]
+)
 def test_tapjoin_variants_match_baseline(mode, monkeypatch):
     """Every V2A_TAPJOIN wide-dot restructuring must reproduce the
     per-tap-dot baseline exactly (mega kernel AND the padded temporal

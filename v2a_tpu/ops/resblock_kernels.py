@@ -1592,7 +1592,7 @@ def fused_downconv3x3_padded(
 def _conv_tconv_kernel(
     *refs, tp, h, w, wp, cins, d, frames, silu, has_emb, has_res,
     skip_cins, want_stats, im2col, join_t=False, join_s=False,
-    join_d=False, join_f=False,
+    join_d=False, join_f=False, join_g=False,
 ):
     """One (sample, row-band) step of the whole PseudoConv3d: per-frame
     affine+SiLU+mask -> 3x3 conv (9 tap dots), then the 3-tap temporal mix
@@ -1636,34 +1636,68 @@ def _conv_tconv_kernel(
     rr = jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 0) + i * tp
     cc = jax.lax.broadcasted_iota(jnp.int32, (tp + 2, wp, 1), 1)
     keep = (rr >= 1) & (rr <= h) & (cc >= 1) & (cc <= w)
-    if join_f:
-        # frame-folded taps: affine+SiLU the whole (F, tp+2, Wp, C) block,
-        # then every tap dot spans all frames (M = F*tp*W)
+    if join_f or join_g:
+        # frame-folded taps: every tap dot spans all frames (M = F*tp*W).
+        # join_f affines the whole (F, tp+2, Wp, C) block at once (one big
+        # f32 transient); join_g affines per frame (f32 transient stays one
+        # frame wide) and stacks the bf16 results — same dots, ~3x less
+        # VMEM, so the band picker keeps the full band height.
         acc = None
         for pi in range(n_parts):
             c = cins[pi]
-            x = x_refs[pi][0]  # (F, tp+2, Wp, C)
             n_rows = a_refs[pi].shape[0]  # B*F
-            sel = (
-                jax.lax.broadcasted_iota(jnp.int32, (frames, n_rows), 1)
-                == bb * frames
-                + jax.lax.broadcasted_iota(jnp.int32, (frames, n_rows), 0)
-            ).astype(jnp.float32)
-            av = jax.lax.dot_general(
-                sel, a_refs[pi][:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (F, C)
-            bv = jax.lax.dot_general(
-                sel, b_refs[pi][:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            xf = (
-                x.astype(jnp.float32) * av[:, None, None, :]
-                + bv[:, None, None, :]
-            )
-            if silu:
-                xf = _silu(xf, o_ref.dtype)
-            xb = jnp.where(keep[None], xf, 0.0).astype(x_refs[pi].dtype)
+            if join_f:
+                x = x_refs[pi][0]  # (F, tp+2, Wp, C)
+                sel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (frames, n_rows), 1)
+                    == bb * frames
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (frames, n_rows), 0
+                    )
+                ).astype(jnp.float32)
+                av = jax.lax.dot_general(
+                    sel, a_refs[pi][:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (F, C)
+                bv = jax.lax.dot_general(
+                    sel, b_refs[pi][:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                xf = (
+                    x.astype(jnp.float32) * av[:, None, None, :]
+                    + bv[:, None, None, :]
+                )
+                if silu:
+                    xf = _silu(xf, o_ref.dtype)
+                xb = jnp.where(keep[None], xf, 0.0).astype(x_refs[pi].dtype)
+            else:
+                rows = []
+                for f in range(frames):
+                    xfr = x_refs[pi][0, f]  # (tp+2, Wp, C)
+                    sel = (
+                        jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1)
+                        == bb * frames + f
+                    ).astype(jnp.float32)
+                    av = jax.lax.dot_general(
+                        sel, a_refs[pi][:], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )[0]
+                    bv = jax.lax.dot_general(
+                        sel, b_refs[pi][:], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )[0]
+                    xf = (
+                        xfr.astype(jnp.float32) * av[None, None, :]
+                        + bv[None, None, :]
+                    )
+                    if silu:
+                        xf = _silu(xf, o_ref.dtype)
+                    rows.append(
+                        jnp.where(keep, xf, 0.0).astype(
+                            x_refs[pi].dtype
+                        )[None]
+                    )
+                xb = jnp.concatenate(rows, axis=0)  # (F, tp+2, Wp, C) bf16
             for dj in range(3):
                 if join_d:
                     xcat = jnp.concatenate(
@@ -1695,7 +1729,7 @@ def _conv_tconv_kernel(
     else:
         yc = None
     yframes = []
-    for f in range(0 if join_f else frames):
+    for f in range(0 if (join_f or join_g) else frames):
         acc = None
         for pi in range(n_parts):
             c = cins[pi]
@@ -1764,7 +1798,7 @@ def _conv_tconv_kernel(
                         acc = part if acc is None else acc + part
         yf = acc + kb_ref[0].astype(jnp.float32)[None, :]
         yframes.append(yf.astype(o_ref.dtype)[None])  # (1, tp*W, D)
-    if not join_f:
+    if not (join_f or join_g):
         yc = jnp.concatenate(yframes, axis=0)  # (F, tp*W, D) bf16 in VMEM
 
     # -- temporal 3-tap mix across frames --
@@ -1883,9 +1917,14 @@ def conv_tconv_band_rows(h: int, w: int, wp: int, cins, d: int,
             ks = sum(skip_cins) if "s" in TAPJOIN else 0
             joinbuf = frames * t * w * (3 * d + ks) * 2
         if "d" in TAPJOIN:
-            m_rows = (frames if "f" in TAPJOIN else 1) * t * w
+            fold = "f" in TAPJOIN or "g" in TAPJOIN
+            m_rows = (frames if fold else 1) * t * w
             joinbuf = max(joinbuf, m_rows * 3 * max(cins) * 2)
-        if "f" in TAPJOIN:
+        if "g" in TAPJOIN:
+            # frame-gathered bf16 stack (the f32 affine transient stays one
+            # frame wide, so only the stack itself is new VMEM)
+            joinbuf += frames * (t + 2) * wp * max(cins) * 2
+        elif "f" in TAPJOIN:
             # whole-block affine output (bf16) + its f32 transient
             joinbuf += frames * (t + 2) * wp * max(cins) * 6
         return weights + win + out + res + skip + yc + acc + ftmp + joinbuf
@@ -1919,6 +1958,10 @@ MEGA_IM2COL = os.environ.get("V2A_MEGA_IM2COL", "0") == "1"
 #         applies to the whole (F, tp+2, Wp, C) block at once and each tap
 #         dot spans all frames (M = F*tp*W, 7x deeper) — 9 dots per part
 #         per band instead of 63
+#   "g" — frame-GATHERED taps: same frame-folded dots as "f" but the
+#         affine+SiLU runs per frame and stacks bf16 results, so the f32
+#         transient stays one frame wide (~3x less VMEM than "f" — the
+#         band picker keeps the full band height). Overrides "f".
 # Read at call time (module attribute) so perf_lab can toggle it.
 # Default OFF (per-tap dots): the standalone one-fwd sweep (PERF.md
 # round 3) measured "f" at 143.3 ms/fwd vs 152.0 per-tap, but the
@@ -1991,7 +2034,8 @@ def fused_conv_tconv_padded(
     join_t = "t" in TAPJOIN
     join_s = join_t and "s" in TAPJOIN and bool(skip_parts)
     join_d = "d" in TAPJOIN
-    join_f = "f" in TAPJOIN
+    join_g = "g" in TAPJOIN
+    join_f = "f" in TAPJOIN and not join_g
 
     in_specs = []
     args = []
@@ -2077,7 +2121,7 @@ def fused_conv_tconv_padded(
             d=d, frames=frames, silu=silu, has_emb=emb is not None,
             has_res=residual is not None, skip_cins=tuple(skip_cins),
             want_stats=want_stats, im2col=im2col, join_t=join_t,
-            join_s=join_s, join_d=join_d, join_f=join_f,
+            join_s=join_s, join_d=join_d, join_f=join_f, join_g=join_g,
         ),
         grid=(b, h // tp),
         in_specs=in_specs,
