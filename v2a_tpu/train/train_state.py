@@ -13,12 +13,22 @@ counterpart and is deliberately dropped).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
+
+# Storage dtype for gradients between the backward pass and the optimizer
+# update. bf16 storage LOSES on TPU (measured 72.7 vs 76.7 steps/s,
+# PERF.md round 3): XLA convolutions are not fusible producers, so the
+# backward's weight-grad convs materialize f32 to HBM regardless and the
+# bf16 cast becomes an EXTRA 525 MB elementwise pass instead of a saving.
+# Kept as an experiment flag (V2A_GRAD_DTYPE=bfloat16); the fused
+# optimizer below does all arithmetic in float32 for any storage dtype.
+GRAD_DTYPE = jnp.dtype(os.environ.get("V2A_GRAD_DTYPE", "float32"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,14 +81,71 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(
-            cfg.lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
-            weight_decay=cfg.weight_decay,
-        ),
+def global_grad_norm(grads: Any) -> jax.Array:
+    """Global L2 norm with float32 accumulation regardless of leaf dtype
+    (bf16-stored gradients square-sum in f32, matching what fp32 grads
+    would produce to within bf16 rounding of the leaves themselves)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves)
     )
+
+
+def fused_clip_adamw(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    """clip_by_global_norm + AdamW as ONE per-leaf elementwise pass.
+
+    Numerically identical to
+    `optax.chain(optax.clip_by_global_norm(c), optax.adamw(...))` (unit-
+    tested leaf-for-leaf), but (a) accepts gradients stored in any dtype
+    and does all arithmetic in float32, and (b) keeps the whole update a
+    single tree_map so XLA emits one fused read-modify-write per parameter
+    — the optimizer pass of an 87M-param policy is HBM-bandwidth-bound
+    (PERF.md round-3 train-step model), so every avoided re-read matters.
+    """
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=jnp.float32)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("fused_clip_adamw requires params")
+        norm = global_grad_norm(grads)
+        # optax.clip_by_global_norm: scale by c/norm only when norm > c
+        clip_scale = cfg.grad_clip / jnp.maximum(norm, cfg.grad_clip)
+        count = state.count + 1
+        c1 = 1.0 - jnp.asarray(cfg.b1, jnp.float32) ** count
+        c2 = 1.0 - jnp.asarray(cfg.b2, jnp.float32) ** count
+
+        def leaf(g, mu, nu, p):
+            g = g.astype(jnp.float32) * clip_scale
+            mu = cfg.b1 * mu + (1.0 - cfg.b1) * g
+            nu = cfg.b2 * nu + (1.0 - cfg.b2) * jnp.square(g)
+            mu_hat = mu / c1
+            nu_hat = nu / c2
+            upd = mu_hat / (jnp.sqrt(nu_hat) + cfg.eps)
+            upd = upd + cfg.weight_decay * p.astype(jnp.float32)
+            return (-cfg.lr * upd).astype(p.dtype), mu, nu
+
+        g_flat, treedef = jax.tree_util.tree_flatten(grads)
+        mu_flat = treedef.flatten_up_to(state.mu)
+        nu_flat = treedef.flatten_up_to(state.nu)
+        p_flat = treedef.flatten_up_to(params)
+        out = [leaf(*args) for args in zip(g_flat, mu_flat, nu_flat, p_flat)]
+        updates = treedef.unflatten([o[0] for o in out])
+        mu = treedef.unflatten([o[1] for o in out])
+        nu = treedef.unflatten([o[2] for o in out])
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    return fused_clip_adamw(cfg)
 
 
 class StepOutput(NamedTuple):
@@ -106,9 +173,15 @@ def make_train_step(
     """
     ema_cfg = ema_cfg or EMAConfig()
 
+    def to_storage(grads):
+        return jax.tree_util.tree_map(
+            lambda g: g.astype(GRAD_DTYPE), grads
+        )
+
     def train_step(state: TrainState, rng: jax.Array, batch: Any) -> StepOutput:
         if accumulate == 1:
             loss, grads = jax.value_and_grad(loss_fn)(state.params, rng, batch)
+            grads = to_storage(grads)
         else:
             def micro(carry, inputs):
                 sub_rng, micro_batch = inputs
@@ -128,7 +201,8 @@ def make_train_step(
             (loss, grads), _ = jax.lax.scan(
                 micro, (jnp.zeros(()), zeros), (rngs, batch)
             )
-        grad_norm = optax.global_norm(grads)
+            grads = to_storage(grads)
+        grad_norm = global_grad_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
