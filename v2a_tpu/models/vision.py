@@ -81,7 +81,19 @@ class ResNet18Conv(nn.Module):
             x.astype(jnp.float32)
         ).astype(self.dtype)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        import os
+
+        if x.dtype == jnp.bfloat16 and os.environ.get("V2A_PACKED_POOL") == "1":
+            # argmax-packed pool (ops/pool.py): measured DEAD on-chip —
+            # 51.4 vs 76.7 steps/s (PERF.md round 3). The select-and-scatter
+            # it replaces costs 0.56 ms, but the int32 reduce_window
+            # forward + 4-term compare backward cost far more. Kept as an
+            # equivalence-tested experiment flag only.
+            from v2a_tpu.ops.pool import max_pool_3x3s2
+
+            x = max_pool_3x3s2(x)
+        else:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, (n_blocks, feats) in enumerate(
             zip(self.stage_sizes, self.stage_features)
         ):
