@@ -42,12 +42,13 @@ CONFIGS = {
     "unfused": {"V2A_FUSED": "0", "V2A_PADDED_STREAM": "0"},
     "fused_nopad": {"V2A_FUSED": "1", "V2A_PADDED_STREAM": "0"},
     # shipped defaults: fused + padded stream + mega + upconv + per-tap
-    # dots + fused spatial attention (the chain-fastest config, PERF.md)
+    # dots + XLA attention (the chain-fastest config, PERF.md)
     "default": {},
     # frame-folded tap-join variant (available via V2A_TAPJOIN; keep gated)
     "tapjoin_f": {"V2A_TAPJOIN": "f"},
-    # fused spatial attention OFF (the XLA attention fallback, still gated)
-    "pallas_attn_off": {"V2A_PALLAS_ATTN": "0"},
+    # fused spatial attention ON (gated experiment; default is the XLA
+    # attention — the kernel loses 4.6 ms/fwd in-chain, PERF.md round 3)
+    "pallas_attn": {"V2A_PALLAS_ATTN": "1"},
 }
 
 BATCH = 8  # production operating point: kernel/band selection depends on it

@@ -1038,8 +1038,13 @@ def test_fused_spatial_attention_padded_matches_block():
     ).astype(np.float32))
 
     block = SpatialAttentionBlock(num_head_channels=ch)
-    params = block.init(jax.random.PRNGKey(1), x, stats=stats)
-    ref, ref_stats = block.apply(params, x, stats=stats, want_stats=True)
+    old = video_unet.PERF_PALLAS_ATTN
+    video_unet.PERF_PALLAS_ATTN = False
+    try:
+        params = block.init(jax.random.PRNGKey(1), x, stats=stats)
+        ref, ref_stats = block.apply(params, x, stats=stats, want_stats=True)
+    finally:
+        video_unet.PERF_PALLAS_ATTN = old
 
     # poison the pad positions to prove in-kernel masking
     ps = pad_stream(x)
@@ -1092,8 +1097,13 @@ def test_fused_spatial_attention_survives_nan_pads():
     ).astype(np.float32))
 
     block = SpatialAttentionBlock(num_head_channels=ch)
-    params = block.init(jax.random.PRNGKey(1), x, stats=stats)
-    ref = block.apply(params, x, stats=stats)
+    old = video_unet.PERF_PALLAS_ATTN
+    video_unet.PERF_PALLAS_ATTN = False
+    try:
+        params = block.init(jax.random.PRNGKey(1), x, stats=stats)
+        ref = block.apply(params, x, stats=stats)
+    finally:
+        video_unet.PERF_PALLAS_ATTN = old
 
     ps = pad_stream(x)
     poisoned = jnp.full_like(ps.x, jnp.nan)
@@ -1132,8 +1142,13 @@ def test_fused_spatial_attention_nonsquare_and_heads():
     ).astype(np.float32))
 
     block = SpatialAttentionBlock(num_head_channels=ch)
-    params = block.init(jax.random.PRNGKey(1), x, stats=stats)
-    ref = block.apply(params, x, stats=stats)
+    old = video_unet.PERF_PALLAS_ATTN
+    video_unet.PERF_PALLAS_ATTN = False
+    try:
+        params = block.init(jax.random.PRNGKey(1), x, stats=stats)
+        ref = block.apply(params, x, stats=stats)
+    finally:
+        video_unet.PERF_PALLAS_ATTN = old
 
     old = video_unet.PERF_PALLAS_ATTN
     video_unet.PERF_PALLAS_ATTN = True
@@ -1143,4 +1158,48 @@ def test_fused_spatial_attention_nonsquare_and_heads():
         video_unet.PERF_PALLAS_ATTN = old
     np.testing.assert_allclose(
         np.asarray(unpad_stream(out)), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_fused_spatial_attention_unpadded_entry():
+    """Round-3 regression: attention lives at ds 8/16 where the stream is
+    NEVER padded (hw <= 512 fails _padded_eligible), so the kernel must
+    fire from a PLAIN (B, F, H, W, C) input via the local pad_stream entry
+    — without it, V2A_PALLAS_ATTN was a silent no-op on the shipped
+    config. Kernel-entered output must match the XLA block exactly
+    (same params, same stats), including the forwarded output stats."""
+    from v2a_tpu.models import video_unet
+    from v2a_tpu.models.video_unet import SpatialAttentionBlock
+
+    b, f, h, w, c, ch = 2, 2, 8, 8, 64, 32
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(b, f, h, w, c)).astype(np.float32))
+    xf = np.asarray(x, np.float64).reshape(b, f, h * w, c)
+    stats = jnp.asarray(np.stack(
+        [xf.sum(axis=2), (xf * xf).sum(axis=2)], axis=2
+    ).astype(np.float32))
+
+    block = SpatialAttentionBlock(num_head_channels=ch)
+    old = video_unet.PERF_PALLAS_ATTN
+    video_unet.PERF_PALLAS_ATTN = False
+    try:
+        params = block.init(jax.random.PRNGKey(1), x, stats=stats)
+        ref, ref_stats = block.apply(params, x, stats=stats, want_stats=True)
+    finally:
+        video_unet.PERF_PALLAS_ATTN = old
+
+    video_unet.PERF_PALLAS_ATTN = True
+    try:
+        out, out_stats = block.apply(params, x, stats=stats, want_stats=True)
+    finally:
+        video_unet.PERF_PALLAS_ATTN = old
+
+    # plain array in -> plain array out (the entry unpads on exit)
+    assert not hasattr(out, "hw")
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_stats), np.asarray(ref_stats), atol=5e-3, rtol=5e-4
     )

@@ -121,12 +121,17 @@ PERF_DOWNCONV = os.environ.get("V2A_DOWNCONV", "0") == "1"
 # entry conv's {3,0,2,1} relayout copy + the L0 entry pad both vanish.
 PERF_ENTRY_PAD = os.environ.get("V2A_ENTRY_PAD", "0") == "1"
 # Spatial attention as ONE Pallas kernel on the padded stream
-# (`fused_spatial_attention_padded`): the unpad/pad slices, the GroupNorm
-# pass, and the next block's full-tensor statistics read all disappear.
-# Requires forwarded stats (the fused path always has them at the
-# attention levels). Default on: −2.7 ms/fwd on-chip and a PASS in the
-# verify_onchip parity gate (PERF.md round 3).
-PERF_PALLAS_ATTN = os.environ.get("V2A_PALLAS_ATTN", "1") == "1"
+# (`fused_spatial_attention_padded`): the GroupNorm pass and the next
+# block's full-tensor statistics read disappear. Default OFF: measured
+# −4.6 ms/fwd LOSS in-chain (11.47 vs 11.02 s/iter, bench.py medians,
+# PERF.md round 3) — the grid-sequential per-(b,f) samples and skinny
+# ch=32 per-head dots pay MXU fill/drain that XLA's batched matmuls
+# amortize across the whole (B*F*heads) batch, and the padded 432-token
+# M inflates the logits 2.85x over the 256 real tokens. (The earlier
+# "-2.7 ms, default on" record compared two identical programs: the
+# attention levels are never padded, so the kernel was a silent no-op
+# until the unpadded entry landed.)
+PERF_PALLAS_ATTN = os.environ.get("V2A_PALLAS_ATTN", "0") == "1"
 
 
 class PaddedStream:
@@ -1307,7 +1312,18 @@ class SpatialAttentionBlock(nn.Module):
         want_stats: bool = False,
     ):
         was_padded = isinstance(x, PaddedStream)
-        if was_padded and PERF_PALLAS_ATTN and stats is not None:
+        entered = False
+        if not was_padded and PERF_PALLAS_ATTN and stats is not None:
+            # The attention levels (ds 8/16 -> 16x16 and 8x8 maps) sit
+            # BELOW the padded-stream levels (hw > 512), so without this
+            # local entry the fused kernel never fires on the shipped
+            # config — round 3's first "in-chain neutral" A/B compared two
+            # identical programs. Padding here costs a ~1 MB copy; the
+            # kernel replaces the GN pass + QKV/attn/proj dots + the next
+            # block's statistics read.
+            x = pad_stream(x.astype(self.dtype))
+            entered = True
+        if isinstance(x, PaddedStream) and PERF_PALLAS_ATTN and stats is not None:
             # one-kernel path: GN affine + QKV + attention + proj +
             # residual consumed/produced in the padded layout, emitting
             # the output's interior statistics for the next block
@@ -1332,11 +1348,12 @@ class SpatialAttentionBlock(nn.Module):
             )
             if want_stats:
                 y, new_stats = out
-                return (
-                    PaddedStream(y.reshape(bb, f, hp, wp, c), (hh, ww)),
-                    new_stats.reshape(bb, f, 2, c),
-                )
-            return PaddedStream(out.reshape(bb, f, hp, wp, c), (hh, ww))
+                y_ps = PaddedStream(y.reshape(bb, f, hp, wp, c), (hh, ww))
+                if entered:
+                    return unpad_stream(y_ps), new_stats.reshape(bb, f, 2, c)
+                return y_ps, new_stats.reshape(bb, f, 2, c)
+            y_ps = PaddedStream(out.reshape(bb, f, hp, wp, c), (hh, ww))
+            return unpad_stream(y_ps) if entered else y_ps
         if was_padded:
             # attention needs exact token sets: drop to the interior view
             # and re-enter the padded layout after (the forwarded stats

@@ -2888,14 +2888,22 @@ def _attn_padded_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    # interior mask over the M token positions (lane iota; no reshapes)
+    # interior mask over the M token positions. Two orientations, each
+    # built directly from a broadcasted iota in its target shape: Mosaic
+    # cannot reshape an i1 vector onto a new minor dim ("insertion of
+    # minor dim that is not a no-op only supported for 32-bit types").
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
     row = idx // wp
     col = idx - row * wp
     interior = (
         (row >= 1) & (row <= h) & (col >= 1) & (col <= w)
     )
-    interior_m1 = interior.reshape(m, 1)
+    idx_m1 = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    row_m1 = idx_m1 // wp
+    col_m1 = idx_m1 - row_m1 * wp
+    interior_m1 = (
+        (row_m1 >= 1) & (row_m1 <= h) & (col_m1 >= 1) & (col_m1 <= w)
+    )
 
     x = x_ref[0].reshape(m, c)  # (M, C) leading-dims merge
     # pad positions hold GARBAGE by the PaddedStream contract (the
