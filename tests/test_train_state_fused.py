@@ -124,3 +124,47 @@ def test_accumulate_path_uses_storage_dtype(monkeypatch):
     state, loss, gn = step(state, jax.random.PRNGKey(0), batch)
     assert np.isfinite(float(loss)) and np.isfinite(float(gn))
     assert (np.asarray(state.params["w"]) != 1.0).all()
+
+
+def test_weight_precast_matches_cast_at_use(monkeypatch):
+    """V2A_WCAST=1 pre-casts >=2D f32 leaves to bf16 ONCE behind an
+    optimization_barrier instead of letting XLA fuse the cast into every
+    consumer (a VMEM-prefetch bandwidth experiment, PERF.md round 3). For
+    a loss whose compute dtype is bf16 the two programs are numerically
+    IDENTICAL: cast(cast(p)) == cast(p). 1D leaves (biases, norm scales)
+    must stay f32. Gradients must flow through the barrier."""
+    import v2a_tpu.train.train_state as ts
+
+    def loss_fn(params, rng, batch):
+        # bf16 compute path: kernel cast at use (like flax dtype=bf16);
+        # the 1D bias is consumed in f32 (like a norm scale)
+        w = params["w"].astype(jnp.bfloat16)
+        pred = (batch.astype(jnp.bfloat16) @ w).astype(jnp.float32)
+        pred = pred + params["b"]
+        return jnp.mean((pred - 1.0) ** 2)
+
+    batch = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    params = {
+        "w": jax.random.normal(jax.random.PRNGKey(1), (8, 4)),
+        "b": jnp.full((4,), 1e-4),  # small f32 value a bf16 cast would round
+    }
+
+    results = {}
+    for precast in (False, True):
+        monkeypatch.setattr(ts, "WEIGHT_PRECAST", precast)
+        tx = ts.make_optimizer(OptimizerConfig(lr=1e-2))
+        state = TrainState.create(params, tx)
+        step = jax.jit(ts.make_train_step(loss_fn, tx, EMAConfig()))
+        for i in range(3):
+            state, loss, gn = step(state, jax.random.PRNGKey(i), batch)
+        results[precast] = (state, float(loss), float(gn))
+
+    (s0, l0, g0), (s1, l1, g1) = results[False], results[True]
+    assert np.isfinite(l1) and g1 > 0.0  # grads flowed through the barrier
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        ),
+        s1.params, s0.params,
+    )

@@ -30,6 +30,30 @@ from flax import struct
 # optimizer below does all arithmetic in float32 for any storage dtype.
 GRAD_DTYPE = jnp.dtype(os.environ.get("V2A_GRAD_DTYPE", "float32"))
 
+# One-shot bf16 materialization of the large compute weights. By default
+# XLA fuses the f32->bf16 cast into every consumer, so the fwd AND bwd
+# conv/dense weight prefetches stream the f32 master copies (2x bytes)
+# from HBM — the round-3 chained train trace shows 2.8 ms/step of
+# copy-done stalls dominated by f32[3,3,C,D] / f32[5,1024,1024] weight
+# prefetches. With V2A_WCAST=1 every float32 leaf with ndim >= 2 (the
+# conv/dense kernels; 1D biases and norm scales keep f32 compute) is
+# cast ONCE per step behind an optimization_barrier so all fwd/bwd
+# prefetches move bf16. Numerically identical to the cast-at-use default
+# for modules whose compute dtype is already bf16 (the cast composes to
+# the same bf16 value); gradients flow through the barrier.
+WEIGHT_PRECAST = os.environ.get("V2A_WCAST", "0") == "1"
+
+
+def _precast_compute_weights(params: Any) -> Any:
+    def cast(p):
+        if isinstance(p, jax.Array) and p.dtype == jnp.float32 and p.ndim >= 2:
+            return p.astype(jnp.bfloat16)
+        return p
+
+    return jax.lax.optimization_barrier(
+        jax.tree_util.tree_map(cast, params)
+    )
+
 
 @dataclasses.dataclass(frozen=True)
 class OptimizerConfig:
@@ -172,6 +196,12 @@ def make_train_step(
     in HBM.
     """
     ema_cfg = ema_cfg or EMAConfig()
+
+    if WEIGHT_PRECAST:
+        inner_loss = loss_fn
+
+        def loss_fn(params, rng, batch):  # noqa: F811
+            return inner_loss(_precast_compute_weights(params), rng, batch)
 
     def to_storage(grads):
         return jax.tree_util.tree_map(
