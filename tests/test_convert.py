@@ -31,6 +31,22 @@ from v2a_tpu.convert.torch_import import (  # noqa: E402
 REF = "/root/reference/flowdiffusion/flowdiffusion"
 
 
+def shim_module(name: str, package: bool = False) -> types.ModuleType:
+    """A sys.modules shim with a REAL ModuleSpec. A bare types.ModuleType
+    has __spec__=None, and importlib.util.find_spec raises ValueError on
+    such modules — so a bare "torchvision" shim (installed for the
+    reference import) poisons any later `import transformers` in the same
+    pytest process (transformers probes optional deps via find_spec).
+    Every shim the golden tests install must go through this helper."""
+    import importlib.machinery
+
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None, is_package=package)
+    if package:
+        m.__path__ = []
+    return m
+
+
 def _install_einops_exts_shim():
     """The reference imports `einops_exts`, absent here; shim the three
     helpers it uses with plain einops."""
@@ -39,12 +55,12 @@ def _install_einops_exts_shim():
     from einops import rearrange, repeat
     import torch.nn as nn
 
-    mod = types.ModuleType("einops_exts")
+    mod = shim_module("einops_exts")
     mod.rearrange_many = lambda ts, *a, **k: [rearrange(t, *a, **k) for t in ts]
     mod.repeat_many = lambda ts, *a, **k: [repeat(t, *a, **k) for t in ts]
     mod.check_shape = lambda t, p, **k: rearrange(t, f"{p} -> {p}", **k)
 
-    tmod = types.ModuleType("einops_exts.torch")
+    tmod = shim_module("einops_exts.torch")
 
     class EinopsToAndFrom(nn.Module):
         def __init__(self, from_pattern, to_pattern, fn):

@@ -11,6 +11,8 @@ import types
 import numpy as np
 import pytest
 
+from tests.test_convert import shim_module
+
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
@@ -31,9 +33,7 @@ def _load_reference_unet1d():
         "diffuser", "diffuser.diffusion_policy", "diffuser.diffusion_policy.model",
     ):
         if name not in sys.modules:
-            pkg = types.ModuleType(name)
-            pkg.__path__ = []
-            sys.modules[name] = pkg
+            sys.modules[name] = shim_module(name, package=True)
 
     def load(name, fname):
         spec = importlib.util.spec_from_file_location(

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+from tests.test_convert import shim_module
+
 from v2a_tpu.data.h5_ingest import write_randsam_file
 from v2a_tpu.envs.offline import OfflineDataset
 from v2a_tpu.ops.fid import (
@@ -94,14 +96,14 @@ def _load_ref_evaluator():
         pytest.skip("reference checkout not available")
     for name in ("requests", "tqdm", "tqdm.auto"):
         if name not in sys.modules:
-            mod = types.ModuleType(name)
+            mod = shim_module(name)
             if name == "tqdm.auto":
                 mod.tqdm = lambda x, **k: x
             sys.modules[name] = mod
     if "tensorflow" not in sys.modules:
-        tf = types.ModuleType("tensorflow")
-        compat = types.ModuleType("tensorflow.compat")
-        v1 = types.ModuleType("tensorflow.compat.v1")
+        tf = shim_module("tensorflow", package=True)
+        compat = shim_module("tensorflow.compat", package=True)
+        v1 = shim_module("tensorflow.compat.v1")
         tf.compat = compat
         compat.v1 = v1
         sys.modules["tensorflow"] = tf

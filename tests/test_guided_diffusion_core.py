@@ -17,6 +17,8 @@ import types
 import numpy as np
 import pytest
 
+from tests.test_convert import shim_module
+
 import jax
 import jax.numpy as jnp
 
@@ -38,7 +40,7 @@ def _load_ref():
     if not os.path.isdir(PKG_DIR):
         pytest.skip("reference checkout not available")
     if "gd_ref" not in sys.modules:
-        pkg = types.ModuleType("gd_ref")
+        pkg = shim_module("gd_ref", package=True)
         pkg.__path__ = [PKG_DIR]
         sys.modules["gd_ref"] = pkg
     gd = importlib.import_module("gd_ref.gaussian_diffusion")

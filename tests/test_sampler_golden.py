@@ -33,11 +33,11 @@ def _load_reference():
         pytest.skip("reference checkout not available")
 
     # shims for reference-only deps absent here
-    from tests.test_convert import _install_einops_exts_shim
+    from tests.test_convert import _install_einops_exts_shim, shim_module
 
     _install_einops_exts_shim()
     if "ema_pytorch" not in sys.modules:
-        m = types.ModuleType("ema_pytorch")
+        m = shim_module("ema_pytorch")
 
         class EMA:  # only imported, not exercised by the sampler
             def __init__(self, *a, **k):
@@ -46,9 +46,9 @@ def _load_reference():
         m.EMA = EMA
         sys.modules["ema_pytorch"] = m
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.transforms = types.ModuleType("torchvision.transforms")
-        tv.utils = types.ModuleType("torchvision.utils")
+        tv = shim_module("torchvision", package=True)
+        tv.transforms = shim_module("torchvision.transforms")
+        tv.utils = shim_module("torchvision.utils")
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tv.transforms
         sys.modules["torchvision.utils"] = tv.utils
@@ -57,10 +57,8 @@ def _load_reference():
     ):
         for name in ("diffuser", "diffuser.utils"):
             if name not in sys.modules:
-                pkg = types.ModuleType(name)
-                pkg.__path__ = []
-                sys.modules[name] = pkg
-        lu = types.ModuleType("diffuser.utils.luo_utils")
+                sys.modules[name] = shim_module(name, package=True)
+        lu = shim_module("diffuser.utils.luo_utils")
 
         def batch_repeat_tensor(*tensors, n=2):
             import torch as _t
@@ -74,16 +72,16 @@ def _load_reference():
         sys.modules["diffuser.utils.luo_utils"] = lu
     if "diffuser.models.helpers" not in sys.modules:
         if "diffuser.models" not in sys.modules:
-            pkg = types.ModuleType("diffuser.models")
-            pkg.__path__ = []
-            sys.modules["diffuser.models"] = pkg
-        helpers = types.ModuleType("diffuser.models.helpers")
+            sys.modules["diffuser.models"] = shim_module(
+                "diffuser.models", package=True
+            )
+        helpers = shim_module("diffuser.models.helpers")
         helpers.get_no_dash_tasks_str = lambda tasks: [
             t.replace("-", " ") for t in tasks
         ]
         sys.modules["diffuser.models.helpers"] = helpers
     if "pynvml" not in sys.modules:
-        nv = types.ModuleType("pynvml")
+        nv = shim_module("pynvml")
         nv.nvmlInit = lambda: None
         nv.nvmlDeviceGetHandleByIndex = lambda i: None
         nv.nvmlDeviceGetMemoryInfo = lambda h: types.SimpleNamespace(used=0)
