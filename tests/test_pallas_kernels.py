@@ -1203,3 +1203,30 @@ def test_fused_spatial_attention_unpadded_entry():
     np.testing.assert_allclose(
         np.asarray(out_stats), np.asarray(ref_stats), atol=5e-3, rtol=5e-4
     )
+
+
+def test_attn_hmajor_matches_legacy_layout():
+    """V2A_ATTN_HMAJOR reorders only the layout of the XLA attention
+    einsums (one qkv head transpose instead of per-operand relayouts);
+    outputs must match the legacy form exactly on the same params."""
+    from v2a_tpu.models import video_unet
+    from v2a_tpu.models.video_unet import SpatialAttentionBlock
+
+    b, f, h, w, c, ch = 2, 2, 8, 8, 64, 32
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(b, f, h, w, c)).astype(np.float32))
+
+    block = SpatialAttentionBlock(num_head_channels=ch)
+    assert not video_unet.PERF_PALLAS_ATTN  # plain-XLA default
+    params = block.init(jax.random.PRNGKey(1), x)
+    ref = block.apply(params, x)
+
+    old = video_unet.PERF_ATTN_HMAJOR
+    video_unet.PERF_ATTN_HMAJOR = True
+    try:
+        out = block.apply(params, x)
+    finally:
+        video_unet.PERF_ATTN_HMAJOR = old
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )

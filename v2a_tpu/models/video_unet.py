@@ -132,6 +132,13 @@ PERF_ENTRY_PAD = os.environ.get("V2A_ENTRY_PAD", "0") == "1"
 # attention levels are never padded, so the kernel was a silent no-op
 # until the unpadded entry landed.)
 PERF_PALLAS_ATTN = os.environ.get("V2A_PALLAS_ATTN", "0") == "1"
+# XLA attention with the head axis transposed ONCE on the fused qkv
+# tensor (and once back on the output) instead of the per-operand
+# head-major relayouts the legacy einsum forms make XLA insert. The
+# attention blocks are FLOP-trivial (~30 GFLOP/fwd); their measured
+# 4.78 ms/fwd chain cost (PERF.md round-3 ablation) is mostly layout
+# glue, which this targets. Same math, same param tree.
+PERF_ATTN_HMAJOR = os.environ.get("V2A_ATTN_HMAJOR", "0") == "1"
 
 
 class PaddedStream:
@@ -1373,16 +1380,33 @@ class SpatialAttentionBlock(nn.Module):
         qkv = nn.Dense(c * 3, dtype=self.dtype, name="qkv")(y_norm)
         # legacy layout: reshape to heads then split qkv (`unet.py:346-358`)
         qkv = qkv.reshape(b * f, h * w, n_heads, 3 * ch)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
         scale = 1.0 / math.sqrt(math.sqrt(ch))
-        logits = jnp.einsum(
-            "bthc,bshc->bhts", q * scale, k * scale,
-            preferred_element_type=jnp.float32,
-        )
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
-            self.dtype
-        )
-        out = jnp.einsum("bhts,bshc->bthc", weights, v)
+        if PERF_ATTN_HMAJOR:
+            # one (t,h)-transpose of the fused qkv instead of the separate
+            # q/k/v head-major relayouts XLA inserts for the einsum below
+            # — same math, fewer relayout fusions (param tree identical)
+            qkv_h = jnp.swapaxes(qkv, 1, 2)  # (bf, heads, t, 3ch)
+            q, k, v = jnp.split(qkv_h, 3, axis=-1)
+            logits = jnp.einsum(
+                "bhtc,bhsc->bhts", q * scale, k * scale,
+                preferred_element_type=jnp.float32,
+            )
+            weights = jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1
+            ).astype(self.dtype)
+            out = jnp.swapaxes(
+                jnp.einsum("bhts,bhsc->bhtc", weights, v), 1, 2
+            )  # back to (bf, t, heads, ch)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            logits = jnp.einsum(
+                "bthc,bshc->bhts", q * scale, k * scale,
+                preferred_element_type=jnp.float32,
+            )
+            weights = jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1
+            ).astype(self.dtype)
+            out = jnp.einsum("bhts,bshc->bthc", weights, v)
         out = out.reshape(b * f, h * w, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj_out")(out)
         result = (y + out).reshape(b, f, h, w, c)
