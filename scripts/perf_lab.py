@@ -319,6 +319,55 @@ def winograd_bench():
             )
 
 
+def winograd_pallas_bench():
+    """In-VMEM Pallas Winograd F(2x2,3x3) vs the direct Pallas band conv
+    and the XLA emitter, chained slopes at the production level shapes.
+    Decision threshold (round 3): ship-path integration only if the
+    Winograd form beats spatial_conv3x3 by >=25% at L0/L1 (the in-chain
+    inversion lesson: small standalone wins do not survive)."""
+    from v2a_tpu.ops.resblock_kernels import spatial_conv3x3, winograd_conv3x3
+
+    shapes = [
+        ("L0", 56, 128, 128, 128),
+        ("L1", 56, 64, 64, 256),
+        ("L2", 56, 32, 32, 384),
+    ]
+    for name, n, h, w, c in shapes:
+        x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c), jnp.bfloat16)
+        wgt = jax.random.normal(
+            jax.random.PRNGKey(1), (3, 3, c, c), jnp.bfloat16
+        ) * 0.02
+        bias = jnp.zeros((c,), jnp.float32)
+        flops = 2 * 9 * c * c * h * w * n
+
+        def xla_conv(x, wgt):
+            return jax.lax.conv_general_dilated(
+                x, wgt, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        def pallas_direct(x, wgt):
+            return spatial_conv3x3(x, wgt, bias)
+
+        def pallas_wino(x, wgt):
+            return winograd_conv3x3(x, wgt, bias)
+
+        # numerics sanity once per shape (bf16 tolerance)
+        ref = np.asarray(xla_conv(x, wgt), np.float32)
+        got = np.asarray(pallas_wino(x, wgt), np.float32)
+        relerr = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-6)
+        for label, fn in (
+            ("xla", xla_conv), ("direct", pallas_direct), ("wino", pallas_wino)
+        ):
+            dt = _time_chained(fn, x, wgt)
+            print(
+                f"winop {name:<4} {label:<7} {dt * 1e3:7.3f} ms  "
+                f"{flops / dt / 1e12:6.1f} TF/s(direct-equiv)"
+                + (f"  relerr={relerr:.2e}" if label == "wino" else ""),
+                flush=True,
+            )
+
+
 def tconv_bench():
     """Temporal conv formulations at every U-Net level shape: the transpose+
     conv1d production path vs the Pallas in-layout kernel (with and without
@@ -777,6 +826,9 @@ def main():
             continue
         if name == "winobench":
             winograd_bench()
+            continue
+        if name == "winobench2":
+            winograd_pallas_bench()
             continue
         if name == "tconvbench":
             tconv_bench()

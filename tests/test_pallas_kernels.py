@@ -1230,3 +1230,25 @@ def test_attn_hmajor_matches_legacy_layout():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 16, 128, 128), (1, 4, 32, 256, 128)])
+def test_winograd_conv3x3_matches_xla(shape):
+    """Winograd F(2x2,3x3) == the direct SAME conv (f32 interpret mode)."""
+    from v2a_tpu.ops.resblock_kernels import winograd_conv3x3
+
+    n, h, w, c, d = shape
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(3, 3, c, d)).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+
+    ref = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+
+    got = winograd_conv3x3(x, kern, bias, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-4, rtol=5e-4
+    )

@@ -3036,3 +3036,188 @@ def fused_spatial_attention_padded(
         bproj.reshape(1, c).astype(jnp.float32),
     )
     return res if want_stats else (res, None)[0]
+
+
+# -- Winograd F(2x2, 3x3) spatial conv (round 3) -------------------------------
+
+
+def winograd_weights(kernel: jax.Array) -> jax.Array:
+    """(3, 3, C, D) flax kernel -> the 16 transform-domain matrices
+    (16, C, D): W_ab = (G g G^T)[a, b] per channel pair, G the standard
+    F(2x2, 3x3) weight transform [[1,0,0],[.5,.5,.5],[.5,-.5,.5],[0,0,1]].
+    Computed in f32 OUTSIDE the kernel — inside a DDIM `lax.scan` chain the
+    weights are loop-invariant, so XLA hoists this out of the loop."""
+    g = jnp.asarray(
+        [[1.0, 0.0, 0.0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    k = kernel.astype(jnp.float32)  # (3, 3, C, D)
+    # G @ k over the first spatial axis, then G @ . over the second
+    t = jnp.einsum("ai,ijcd->ajcd", g, k)
+    t = jnp.einsum("bj,ajcd->abcd", g, t)
+    c, d = kernel.shape[2], kernel.shape[3]
+    return t.reshape(16, c, d)
+
+
+def _winograd_kernel(
+    xp_ref, wt_ref, b_ref, o_ref, scratch, comp, sem,
+    *, th: int, w_out: int, wp: int, cin: int, cout: int,
+):
+    """One (image, row-band) step of the Winograd F(2x2,3x3) conv.
+
+    Pipeline per band (all in VMEM):
+      1. DMA the haloed (th+2, Wp, C) row band from HBM (same halo
+         convention as `_spatial3x3_kernel`).
+      2. For each tile-row r (2 output rows each): Bt row combos in f32,
+         then column combos via the f32 (Wp/2, 2, C) parity-split reshape
+         (round-2c: (W,2)<->sublane merge/split works in f32) and a
+         one-tile sublane shift; the 16 transform components land in a
+         (16, th/2 * W/2, C) bf16 scratch.
+      3. 16 dots (M, C) x (C, D) in the transform domain — 16/9 the dot
+         count of the direct form but 4x smaller M, for 2.25x fewer MACs.
+      4. Inverse transform A^T M A accumulated directly into 4 (M, D)
+         output-parity buffers (+-1 coefficients only), then the f32
+         parity-merge reshape interleaves columns and rows back.
+    """
+    n = pl.program_id(0)
+    j = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        xp_ref.at[n, pl.ds(j * th, th + 2)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+    x0 = scratch[:]  # (th+2, Wp, C) bf16
+    tr = th // 2
+    wt_tiles = w_out // 2
+    m = tr * wt_tiles
+
+    # 2. transform components
+    for r in range(tr):
+        d0 = x0[2 * r].astype(jnp.float32)      # (Wp, C)
+        d1 = x0[2 * r + 1].astype(jnp.float32)
+        d2 = x0[2 * r + 2].astype(jnp.float32)
+        d3 = x0[2 * r + 3].astype(jnp.float32)
+        t_rows = (d0 - d2, d1 + d2, d2 - d1, d1 - d3)
+        for a, t in enumerate(t_rows):
+            # parity split: padded col 2j -> e[j], col 2j+1 -> o[j]
+            sp = t.reshape(wp // 2, 2, cin)
+            e = sp[:, 0, :]
+            o = sp[:, 1, :]
+            e1 = e[1:1 + wt_tiles]
+            o1 = o[1:1 + wt_tiles]
+            e, o = e[:wt_tiles], o[:wt_tiles]
+            cols = (e - e1, o + e1, e1 - o, o - o1)
+            for b, cmb in enumerate(cols):
+                comp[4 * a + b, pl.ds(r * wt_tiles, wt_tiles)] = (
+                    cmb.astype(comp.dtype)
+                )
+
+    # 3 + 4. transform-domain dots, inverse transform accumulated into the
+    # four output parities (A^T rows [1,1,1,0] and [0,1,-1,-1])
+    at = ((1.0, 1.0, 1.0, 0.0), (0.0, 1.0, -1.0, -1.0))
+    y = [[None, None], [None, None]]
+    for a in range(4):
+        for b in range(4):
+            needed = any(
+                at[rr][a] != 0.0 and at[cc][b] != 0.0
+                for rr in range(2) for cc in range(2)
+            )
+            if not needed:
+                continue
+            mab = jax.lax.dot_general(
+                comp[4 * a + b], wt_ref[4 * a + b],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (M, D)
+            for rr in range(2):
+                for cc in range(2):
+                    s = at[rr][a] * at[cc][b]
+                    if s == 0.0:
+                        continue
+                    contrib = mab if s == 1.0 else -mab
+                    y[rr][cc] = (
+                        contrib if y[rr][cc] is None else y[rr][cc] + contrib
+                    )
+
+    bias = b_ref[0].astype(jnp.float32)[None, :]
+    # interleave columns (f32 parity-merge reshape), then rows (leading dim)
+    rows = []
+    for rr in range(2):
+        pair = jnp.concatenate(
+            [
+                (y[rr][0] + bias).reshape(m, 1, cout),
+                (y[rr][1] + bias).reshape(m, 1, cout),
+            ],
+            axis=1,
+        )  # (M, 2, D)
+        rows.append(pair.reshape(tr, w_out, cout))
+    both = jnp.concatenate(
+        [rows[0].reshape(tr, 1, w_out, cout),
+         rows[1].reshape(tr, 1, w_out, cout)],
+        axis=1,
+    )  # (tr, 2, W, D)
+    o_ref[0] = both.reshape(th, w_out, cout).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))
+def winograd_conv3x3(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    interpret: bool = False,
+    tile_h: Optional[int] = None,
+):
+    """3x3 stride-1 SAME conv via Winograd F(2x2,3x3), drop-in for
+    `spatial_conv3x3` (same raw row-major interface). 2.25x fewer MXU MACs
+    than the direct form; the input/inverse transforms ride the VPU in
+    f32. Requires even H and W."""
+    n, h, w, c = x.shape
+    d = kernel.shape[-1]
+    if kernel.shape[:3] != (3, 3, c):
+        raise ValueError(f"kernel {kernel.shape} vs input C={c}")
+    if h % 2 or w % 2:
+        raise ValueError("winograd_conv3x3 needs even H and W")
+    wp = ((w + 2 + 7) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+
+    if tile_h is None:
+        budget = 8 * 1024 * 1024
+        tile_h = h
+        # working set: bf16 comp scratch (16 * th/2 * w/2 * c), f32 y
+        # parities (4 * m * d), the haloed band, weights (16 c d bf16)
+        while tile_h > 2 and (
+            16 * (tile_h // 2) * (w // 2) * c * 2
+            + 4 * (tile_h // 2) * (w // 2) * d * 4
+            + (tile_h + 2) * wp * c * 2 * 2
+        ) > budget:
+            tile_h //= 2
+    while h % tile_h or tile_h % 2:
+        tile_h -= 2
+    tile_h = max(tile_h, 2)
+    n_tiles = h // tile_h
+
+    wt = winograd_weights(kernel).astype(x.dtype)  # (16, C, D)
+    m = (tile_h // 2) * (w // 2)
+
+    return pl.pallas_call(
+        functools.partial(
+            _winograd_kernel, th=tile_h, w_out=w, wp=wp, cin=c, cout=d,
+        ),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((16, c, d), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, w, d), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2, wp, c), x.dtype),
+            pltpu.VMEM((16, m, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(xp, wt, bias.reshape(1, d))
