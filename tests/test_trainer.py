@@ -58,7 +58,7 @@ def small_trainer(tmp_path, with_video=True, with_h5=True, **cfg_kw):
             num_inference_steps=10, num_inference_steps_ddim=2,
         )
     )
-    cfg = TrainerConfig(
+    cfg_fields = dict(
         num_init_rand_ep_per_tk=2,
         max_episodes_rand=20, max_episodes_vid=10,
         min_len_uB=10, init_rand_steps=3,
@@ -69,8 +69,9 @@ def small_trainer(tmp_path, with_video=True, with_h5=True, **cfg_kw):
         n_train_steps=10, save_freq=5, log_freq=2,
         randsam_path=h5path if with_h5 else "",
         h5_total_num_ep_per_task=4,
-        **cfg_kw,
     )
+    cfg_fields.update(cfg_kw)  # callers may override any default above
+    cfg = TrainerConfig(**cfg_fields)
     video_model = FakeVideoModel() if with_video else None
     return OnlineTrainer(
         policy, envs, cfg, str(tmp_path / "workdir"),
@@ -351,3 +352,87 @@ def test_train_prefetch_off_matches_semantics(tmp_path):
     trainer = small_trainer(tmp_path, with_video=False, prefetch_depth=0)
     trainer.train(4)
     assert trainer.step == 4
+
+
+# -- overlapped exploration (cfg.overlap_explore) ---------------------------
+
+
+def test_overlap_explore_full_loop(tmp_path):
+    """overlap_explore=True runs exploration on a worker thread and commits
+    the same NUMBER of episodes/rollouts as the synchronous loop (contents
+    differ: the overlap mode uses private RNG streams by design)."""
+    (tmp_path / "sync").mkdir()
+    (tmp_path / "ovl").mkdir()
+    sync = small_trainer(tmp_path / "sync")
+    sync.train()
+    overlap = small_trainer(tmp_path / "ovl", overlap_explore=True)
+    overlap.train()
+
+    assert overlap.step == sync.step == 10
+    # both explore cadences fired identically (steps 4 and 8); the final
+    # in-flight cycle was committed by the exit barrier
+    assert overlap.cnt_vid_rollouts == sync.cnt_vid_rollouts
+    assert len(overlap.envBuf_vid) == len(sync.envBuf_vid)
+    assert overlap.num_steps_in_env > 0
+    # per-task counters stay consistent with the total
+    assert sum(overlap.cnt_vid_rout_per_tk.values()) == overlap.cnt_vid_rollouts
+    # barrier state fully drained
+    assert overlap._explore_thread is None
+    assert overlap._explore_snapshot is None
+    assert overlap._prefetch is None
+    overlap.envs.check_no_envs_exist()
+
+
+def test_overlap_snapshot_survives_donated_train_step(tmp_path):
+    """The worker's EMA params are a deep copy: the donated train step
+    invalidates the live state's buffers, so an aliased snapshot would make
+    the worker read deleted arrays."""
+    trainer = small_trainer(tmp_path, overlap_explore=True)
+    trainer.train(2)  # fills envBuf_rand, no exploration yet (init=3)
+
+    trainer._spawn_explore()
+    snap_leaf = jax.tree_util.tree_leaves(
+        trainer._explore_snapshot.ema_params
+    )[0]
+    live_leaf = jax.tree_util.tree_leaves(trainer.state.ema_params)[0]
+    assert snap_leaf is not live_leaf  # independent buffers
+
+    # donate the live state while the worker runs, then join + commit
+    batch = trainer._sample_device_batch()
+    trainer.rng, sub = jax.random.split(trainer.rng)
+    trainer.state, _, _ = trainer._train_step(trainer.state, sub, batch)
+    trainer._join_explore()
+    assert trainer.cnt_vid_rollouts == len(trainer.envs.task_list)
+    assert len(trainer.envBuf_vid) == len(trainer.envs.task_list)
+
+
+def test_overlap_explore_worker_error_surfaces(tmp_path):
+    """An exception in the worker thread is re-raised at the join barrier,
+    not swallowed."""
+    trainer = small_trainer(tmp_path, overlap_explore=True)
+    trainer.train(2)
+
+    def boom():
+        raise RuntimeError("explore worker failed")
+
+    trainer._explore_rollouts = boom
+    trainer._spawn_explore()
+    with pytest.raises(RuntimeError, match="explore worker failed"):
+        trainer._join_explore()
+    assert trainer._explore_thread is None
+
+
+def test_overlap_with_live_rand_explore_coincidence(tmp_path):
+    """When live rand exploration (which shares envs/executor with the
+    worker) lands on the same step as a video cycle, the loop falls back to
+    the synchronous path for that step instead of racing."""
+    trainer = small_trainer(
+        tmp_path, with_h5=False,
+        overlap_explore=True, rand_explo_type="live",
+        video_explo_freq=4, rand_explo_freq=4,
+    )
+    trainer.train()
+    assert trainer.step == 10
+    assert trainer.cnt_vid_rollouts >= 2
+    assert trainer._explore_thread is None
+    trainer.envs.check_no_envs_exist()

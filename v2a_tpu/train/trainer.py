@@ -23,7 +23,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Callable, Dict, Optional, Tuple
+import threading
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -110,9 +111,39 @@ class TrainerConfig:
     # also checkpoint the replay buffers (beyond the reference, whose resume
     # restarts buffer filling)
     checkpoint_buffers: bool = False
+    # run video-guided exploration on a worker thread while training
+    # continues, committing episodes/counters at a main-thread join barrier
+    # (SURVEY §7 "start synchronous for parity, then overlap"). Deviation
+    # from the reference's strictly interleaved loop
+    # (`lb_online_trainer_v7.py:504-507`): train steps issued while a cycle
+    # is in flight sample the PRE-explore buffers, and the explorer acts
+    # with the EMA policy snapshotted at spawn time (= the reference's
+    # step-S policy). Default off = exact reference interleaving.
+    overlap_explore: bool = False
 
     def resolved_label_freq(self) -> int:
         return self.label_freq or max(int(self.n_train_steps // self.n_saves), 1)
+
+
+@dataclasses.dataclass
+class _ExploreSnapshot:
+    """Self-contained randomness + params for one overlapped explore cycle.
+
+    The EMA params are a deep device COPY: the fused train step donates the
+    old TrainState (`donate_argnums=(0,)`), so buffers referenced from
+    `self.state` at spawn time are invalidated by the very next step — the
+    worker must own independent buffers. The key/np_rng streams are consumed
+    by the worker thread ONLY (no locking needed); the trainer's own
+    `self.rng`/`self.np_rng` stay main-thread-exclusive for the whole cycle.
+    """
+
+    ema_params: Any
+    key: jax.Array
+    np_rng: np.random.Generator
+
+    def next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
 
 
 class IterTypeScheduler:
@@ -311,28 +342,44 @@ class OnlineTrainer:
         # debug composite
         self._last_rollout = None
         self._prefetch = None
+        # overlapped-exploration state (cfg.overlap_explore)
+        self._explore_thread: Optional[threading.Thread] = None
+        self._explore_outcome: Optional[dict] = None
+        self._explore_snapshot: Optional[_ExploreSnapshot] = None
 
     # -- policy access for exploration -----------------------------------
 
+    def _explore_params_and_key(self):
+        """(ema_params, rng key) for one exploration-time policy call.
+
+        With an overlapped cycle in flight, the worker thread uses its
+        spawn-time snapshot (donation-safe copy + private key stream);
+        otherwise the live state and the trainer's main key are used."""
+        snap = self._explore_snapshot
+        if snap is not None:
+            return snap.ema_params, snap.next_key()
+        self.rng, sub = jax.random.split(self.rng)
+        return self.state.ema_params, sub
+
     def _ema_policy_fn(self, img_obs01: np.ndarray, img_goal01: np.ndarray):
         """Predict `n_action_steps` actions from the EMA params, DDIM."""
-        self.rng, sub = jax.random.split(self.rng)
+        params, sub = self._explore_params_and_key()
         obs = {
             "img_obs_1": jnp.asarray(img_obs01),
             "img_goal_1": jnp.asarray(img_goal01),
         }
-        out = self._predict_ddim(self.state.ema_params, sub, obs)
+        out = self._predict_ddim(params, sub, obs)
         return np.asarray(out["action"][0])
 
     def _ema_policy_fn_batch(self, img_obs01: np.ndarray, img_goal01: np.ndarray):
         """Batched variant: (N,H,W,3)x2 -> (N, n_action_steps, Da), one
         compiled DDIM chain for all parallel rollouts."""
-        self.rng, sub = jax.random.split(self.rng)
+        params, sub = self._explore_params_and_key()
         obs = {
             "img_obs_1": jnp.asarray(img_obs01),
             "img_goal_1": jnp.asarray(img_goal01),
         }
-        out = self._predict_ddim(self.state.ema_params, sub, obs)
+        out = self._predict_ddim(params, sub, obs)
         return np.asarray(out["action"])
 
     # -- data -------------------------------------------------------------
@@ -444,13 +491,31 @@ class OnlineTrainer:
         v01 = np.asarray(vm.sample(rng, imgs01, tasks))
         return (np.clip(v01, 0.0, 1.0) * 255.0).astype(np.uint8)
 
+    def _explore_key(self) -> jax.Array:
+        """One fresh key for exploration-time device calls (snapshot stream
+        when an overlapped cycle runs on the worker thread)."""
+        snap = self._explore_snapshot
+        if snap is not None:
+            return snap.next_key()
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
     def video_guided_explore(self):
         """One exploration cycle over all tasks
-        (`video_guided_explore` `lb_online_trainer_v7.py:859-938`)."""
+        (`video_guided_explore` `lb_online_trainer_v7.py:859-938`):
+        rollouts followed by an immediate commit — the reference's
+        synchronous interleaving (`:504-507`)."""
+        self._commit_explore(self._explore_rollouts())
+
+    def _explore_rollouts(self):
+        """Run one exploration cycle and return ``[(task, env_idx, result)]``
+        WITHOUT mutating buffers/counters. Side effects live in
+        `_commit_explore`, so `cfg.overlap_explore` can run this on a worker
+        thread while training keeps sampling the pre-explore buffers."""
         if self.video_model is None:
             raise RuntimeError("no video model attached")
         if self._batched_executor is not None:
-            return self._video_guided_explore_parallel()
+            return self._explore_rollouts_parallel()
         self.envs.check_no_envs_exist()
         cam = self.envs.camera_list[0]
 
@@ -465,38 +530,42 @@ class OnlineTrainer:
             metas.append((task, env_idx))
             self.envs.close_1_given_env(task, env_idx)
 
-        self.rng, vid_rng = jax.random.split(self.rng)
+        vid_rng = self._explore_key()
         videos_u8 = np.asarray(self._sample_videos_u8(
             vid_rng, np.stack(start_imgs), [m[0] for m in metas]
         ))
 
-        for (task, env_idx), video in zip(metas, videos_u8):
-            # Re-create the env with the SAME seed that produced the frame
-            # the guidance video was conditioned on: Libero randomizes object
-            # placement per seed, so a fresh random seed here would make the
-            # policy chase goals from a different scene than the one it acts
-            # in (the reference keeps one env alive throughout,
-            # `lb_online_trainer_v7.py:877-919`; the lazy close/reopen around
-            # the batched video call must preserve that scene).
-            seed = self.envs.actual_env_seeds[(task, env_idx)]
-            self.envs.init_1_given_env(task, env_idx, e_seed=seed)
-            img_start = self.envs.render_an_env(task, cam, env_idx)
-            result = self.executor.execute(task, cam, env_idx, img_start, video)
-            self.envs.close_1_given_env(task, env_idx)
-            self._last_rollout = (result.pred_video, result.imgs)
+        # overlapped cycles give the executor a private numpy stream so the
+        # trainer's generator stays main-thread-exclusive
+        snap = self._explore_snapshot
+        old_ex_rng = None
+        if snap is not None:
+            old_ex_rng, self.executor.rng = self.executor.rng, snap.np_rng
+        outcomes = []
+        try:
+            for (task, env_idx), video in zip(metas, videos_u8):
+                # Re-create the env with the SAME seed that produced the
+                # frame the guidance video was conditioned on: Libero
+                # randomizes object placement per seed, so a fresh random
+                # seed here would make the policy chase goals from a
+                # different scene than the one it acts in (the reference
+                # keeps one env alive throughout,
+                # `lb_online_trainer_v7.py:877-919`; the lazy close/reopen
+                # around the batched video call must preserve that scene).
+                seed = self.envs.actual_env_seeds[(task, env_idx)]
+                self.envs.init_1_given_env(task, env_idx, e_seed=seed)
+                img_start = self.envs.render_an_env(task, cam, env_idx)
+                result = self.executor.execute(
+                    task, cam, env_idx, img_start, video
+                )
+                self.envs.close_1_given_env(task, env_idx)
+                outcomes.append((task, env_idx, result))
+        finally:
+            if old_ex_rng is not None:
+                self.executor.rng = old_ex_rng
+        return outcomes
 
-            self.envBuf_vid.add_episode(
-                task, cam, env_idx, result.imgs, result.acts,
-                is_success=result.is_success,
-            )
-            self.num_steps_in_env += result.n_env_steps
-            self.cnt_vid_rollouts += 1
-            self.cnt_vid_rout_per_tk[task] += 1
-            if result.is_success:
-                self.cnt_explore_suc += 1
-                self.cnt_explo_suc_per_tk[task] += 1
-
-    def _video_guided_explore_parallel(self):
+    def _explore_rollouts_parallel(self):
         """Pool-parallel exploration: every worker owns one task's env; ONE
         batched video-model call, then lock-step rollouts with batched
         policy predictions (`train/explore_batched.py`)."""
@@ -524,12 +593,14 @@ class OnlineTrainer:
             for i, (task, env_idx) in enumerate(assignments)
         ])
 
-        self.rng, vid_rng = jax.random.split(self.rng)
+        vid_rng = self._explore_key()
         videos_u8 = np.asarray(self._sample_videos_u8(
             vid_rng, np.stack(start_imgs), [a[0] for a in assignments]
         ))
 
-        seeds = [int(self.np_rng.integers(0, 2**31 - 1)) for _ in range(n)]
+        snap = self._explore_snapshot
+        seed_rng = snap.np_rng if snap is not None else self.np_rng
+        seeds = [int(seed_rng.integers(0, 2**31 - 1)) for _ in range(n)]
         results = self._batched_executor.execute_all(
             assignments, cam, start_imgs, list(videos_u8), seeds
         )
@@ -537,8 +608,18 @@ class OnlineTrainer:
             (i, "close_1_given_env", (task, env_idx), {})
             for i, (task, env_idx) in enumerate(assignments)
         ])
+        return [
+            (task, env_idx, result)
+            for (task, env_idx), result in zip(assignments, results)
+        ]
 
-        for (task, env_idx), result in zip(assignments, results):
+    def _commit_explore(self, outcomes):
+        """Apply an exploration cycle's side effects — buffer appends,
+        counters, the debug composite (`lb_online_trainer_v7.py:919-938`).
+        MAIN THREAD ONLY: this is the single place exploration touches
+        state shared with the train loop."""
+        cam = self.envs.camera_list[0]
+        for task, env_idx, result in outcomes:
             self._last_rollout = (result.pred_video, result.imgs)
             self.envBuf_vid.add_episode(
                 task, cam, env_idx, result.imgs, result.acts,
@@ -550,6 +631,56 @@ class OnlineTrainer:
             if result.is_success:
                 self.cnt_explore_suc += 1
                 self.cnt_explo_suc_per_tk[task] += 1
+
+    # -- overlapped exploration (cfg.overlap_explore) ----------------------
+
+    def _spawn_explore(self):
+        """Start one exploration cycle on a worker thread.
+
+        The worker acts with the EMA policy snapshotted NOW (a deep device
+        copy — the donated train step invalidates the live state's buffers
+        on its next call) and private RNG streams; its device calls simply
+        interleave with the train step's on the chip. Episodes are committed
+        by the main thread at `_join_explore`."""
+        assert self._explore_thread is None, "explore cycle already in flight"
+        self.rng, key = jax.random.split(self.rng)
+        self._explore_snapshot = _ExploreSnapshot(
+            ema_params=jax.tree_util.tree_map(jnp.copy, self.state.ema_params),
+            key=key,
+            np_rng=np.random.default_rng(
+                int(self.np_rng.integers(0, 2**63 - 1))
+            ),
+        )
+        outcome: dict = {}
+        self._explore_outcome = outcome
+
+        def work():
+            try:
+                outcome["res"] = self._explore_rollouts()
+            except BaseException as exc:  # surfaced at the join barrier
+                outcome["err"] = exc
+
+        self._explore_thread = threading.Thread(
+            target=work, name="v2a-explore", daemon=True
+        )
+        self._explore_thread.start()
+
+    def _join_explore(self):
+        """Barrier: wait for an in-flight overlapped cycle and commit its
+        episodes. Flushes the prefetcher first so training only samples
+        post-commit buffers (same contract as the synchronous path).
+        No-op when nothing is in flight."""
+        if self._explore_thread is None:
+            return
+        self._explore_thread.join()
+        outcome = self._explore_outcome
+        self._explore_thread = None
+        self._explore_outcome = None
+        self._explore_snapshot = None
+        if "err" in outcome:
+            raise outcome["err"]
+        self._flush_prefetch()
+        self._commit_explore(outcome["res"])
 
     # -- debug artifacts ---------------------------------------------------
 
@@ -681,7 +812,12 @@ class OnlineTrainer:
         try:
             self._train_loop(cfg, n_steps, timer)
         finally:
-            self._flush_prefetch()
+            try:
+                # commit (or surface the error of) any in-flight overlapped
+                # exploration so its episodes are not lost on exit
+                self._join_explore()
+            finally:
+                self._flush_prefetch()
 
     def _train_loop(self, cfg, n_steps, timer):
         while self.step < n_steps:
@@ -700,13 +836,33 @@ class OnlineTrainer:
                 and step % cfg.rand_explo_freq == 0
                 and self.throttle.explo_type_rand == "explo"
             )
-            if do_vid_explore or do_rand_explore:
-                # exploration / ingestion mutate the buffers: drop in-flight
-                # prefetched batches so training only sees post-mutation data
+            # overlapped exploration: commit a finished cycle promptly so
+            # training sees fresh episodes at the earliest safe point
+            if (self._explore_thread is not None
+                    and not self._explore_thread.is_alive()):
+                self._join_explore()
+
+            # live rand exploration shares envs/executor with the explore
+            # worker, so a video cycle must not overlap it this step
+            overlap_vid = (
+                cfg.overlap_explore
+                and do_vid_explore
+                and not (do_rand_explore and cfg.rand_explo_type == "live")
+            )
+
+            if (do_vid_explore and not overlap_vid) or do_rand_explore:
+                # exploration / ingestion mutate the buffers: join any
+                # in-flight cycle and drop prefetched batches so training
+                # only sees post-mutation data
+                self._join_explore()
                 self._flush_prefetch()
 
             if do_vid_explore:
-                self.video_guided_explore()
+                if overlap_vid:
+                    self._join_explore()  # at most one cycle in flight
+                    self._spawn_explore()
+                else:
+                    self.video_guided_explore()
 
             if do_rand_explore:
                 if cfg.randsam_path and cfg.rand_explo_type == "from_h5":
