@@ -51,6 +51,7 @@ def model_defaults() -> dict:
         attention_resolutions="16,8",
         channel_mult="",
         class_cond=False,
+        use_checkpoint=False,
         use_scale_shift_norm=True,
         resblock_updown=False,
         use_fp16=False,
@@ -58,9 +59,10 @@ def model_defaults() -> dict:
 
 
 def model_and_diffusion_defaults() -> dict:
-    """`script_util.py:43-66` (flags without a TPU meaning — dropout,
-    use_checkpoint, num_heads_upsample, use_new_attention_order — are
-    accepted by the CLIs via `parser_from_defaults(extra_ignored=...)`)."""
+    """`script_util.py:43-66`. `use_checkpoint` maps to block-level
+    `jax.remat` (gradient checkpointing, `nn.py:192-236`); flags without a
+    TPU meaning — dropout, num_heads_upsample, use_new_attention_order —
+    are accepted by the CLIs via `parser_from_defaults(extra_ignored=...)`)."""
     res = model_defaults()
     res.update(diffusion_defaults())
     return res
@@ -129,6 +131,7 @@ def create_model(
     use_scale_shift_norm: bool = False,
     resblock_updown: bool = False,
     use_fp16: bool = False,
+    use_checkpoint: bool = False,
     in_channels: int = 3,
 ) -> ImageUNet:
     """`script_util.py:130-185`."""
@@ -147,6 +150,7 @@ def create_model(
         num_head_channels=num_head_channels,
         use_scale_shift_norm=use_scale_shift_norm,
         resblock_updown=resblock_updown,
+        use_checkpoint=use_checkpoint,
         dtype=jnp.bfloat16 if use_fp16 else jnp.float32,
     )
 
@@ -207,6 +211,7 @@ def create_model_and_diffusion(
     predict_xstart: bool,
     rescale_timesteps: bool,
     rescale_learned_sigmas: bool,
+    use_checkpoint: bool = False,
 ) -> Tuple[ImageUNet, GuidedDiffusion]:
     """`script_util.py:74-128`."""
     model = create_model(
@@ -216,6 +221,7 @@ def create_model_and_diffusion(
         num_head_channels=num_head_channels,
         use_scale_shift_norm=use_scale_shift_norm,
         resblock_updown=resblock_updown, use_fp16=use_fp16,
+        use_checkpoint=use_checkpoint,
     )
     diffusion = create_gaussian_diffusion(
         steps=diffusion_steps, learn_sigma=learn_sigma,
@@ -247,6 +253,7 @@ def sr_create_model_and_diffusion(
     predict_xstart: bool,
     rescale_timesteps: bool,
     rescale_learned_sigmas: bool,
+    use_checkpoint: bool = False,
 ) -> Tuple[ImageUNet, GuidedDiffusion]:
     """`script_util.py:280-383`: the SR model is the image model with
     6 input channels (x_t ++ upsampled low_res, `superres_condition`)."""
@@ -258,6 +265,7 @@ def sr_create_model_and_diffusion(
         num_head_channels=num_head_channels,
         use_scale_shift_norm=use_scale_shift_norm,
         resblock_updown=resblock_updown, use_fp16=use_fp16,
+        use_checkpoint=use_checkpoint,
         in_channels=6,
     )
     diffusion = create_gaussian_diffusion(

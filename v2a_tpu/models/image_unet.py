@@ -140,6 +140,10 @@ class ImageUNet(nn.Module):
     use_scale_shift_norm: bool = True
     resblock_updown: bool = False
     dtype: jnp.dtype = jnp.float32
+    # Gradient checkpointing: rematerialize each ResBlock/attention block in
+    # the backward pass (the reference's `use_checkpoint`,
+    # `.../guided_diffusion/nn.py:192-236` wired at `unet.py:160,174,184`).
+    use_checkpoint: bool = False
 
     @nn.compact
     def __call__(
@@ -150,6 +154,11 @@ class ImageUNet(nn.Module):
     ) -> jax.Array:
         if (y is not None) != (self.num_classes is not None):
             raise ValueError("y must be passed iff num_classes is set")
+        _Res = nn.remat(ResBlock2D) if self.use_checkpoint else ResBlock2D
+        _Attn = (
+            nn.remat(AttentionBlock2D) if self.use_checkpoint
+            else AttentionBlock2D
+        )
         mc = self.model_channels
         emb = timestep_embedding(timesteps, mc)
         emb = nn.Dense(mc * 4, dtype=self.dtype, name="time_dense0")(
@@ -162,7 +171,7 @@ class ImageUNet(nn.Module):
 
         def maybe_attn(h, ds, tag):
             if ds in self.attention_resolutions:
-                h = AttentionBlock2D(self.num_head_channels, self.dtype,
+                h = _Attn(self.num_head_channels, self.dtype,
                                      name=f"{tag}_attn")(h)
             return h
 
@@ -172,13 +181,13 @@ class ImageUNet(nn.Module):
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
-                h = ResBlock2D(int(mult * mc), mc * 4, self.use_scale_shift_norm,
+                h = _Res(int(mult * mc), mc * 4, self.use_scale_shift_norm,
                                dtype=self.dtype, name=f"down_{level}_{i}")(h, emb)
                 h = maybe_attn(h, ds, f"down_{level}_{i}")
                 skips.append(h)
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
-                    h = ResBlock2D(int(mult * mc), mc * 4,
+                    h = _Res(int(mult * mc), mc * 4,
                                    self.use_scale_shift_norm, down=True,
                                    dtype=self.dtype,
                                    name=f"down_{level}_down")(h, emb)
@@ -189,22 +198,22 @@ class ImageUNet(nn.Module):
                 ds *= 2
 
         mid_ch = int(self.channel_mult[-1] * mc)
-        h = ResBlock2D(mid_ch, mc * 4, self.use_scale_shift_norm,
+        h = _Res(mid_ch, mc * 4, self.use_scale_shift_norm,
                        dtype=self.dtype, name="mid_res0")(h, emb)
-        h = AttentionBlock2D(self.num_head_channels, self.dtype,
+        h = _Attn(self.num_head_channels, self.dtype,
                              name="mid_attn")(h)
-        h = ResBlock2D(mid_ch, mc * 4, self.use_scale_shift_norm,
+        h = _Res(mid_ch, mc * 4, self.use_scale_shift_norm,
                        dtype=self.dtype, name="mid_res1")(h, emb)
 
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = ResBlock2D(int(mult * mc), mc * 4, self.use_scale_shift_norm,
+                h = _Res(int(mult * mc), mc * 4, self.use_scale_shift_norm,
                                dtype=self.dtype, name=f"up_{level}_{i}")(h, emb)
                 h = maybe_attn(h, ds, f"up_{level}_{i}")
             if level:
                 if self.resblock_updown:
-                    h = ResBlock2D(int(mult * mc), mc * 4,
+                    h = _Res(int(mult * mc), mc * 4,
                                    self.use_scale_shift_norm, up=True,
                                    dtype=self.dtype,
                                    name=f"up_{level}_up")(h, emb)
@@ -252,9 +261,15 @@ class EncoderUNet(nn.Module):
     resblock_updown: bool = True
     pool: str = "adaptive"
     dtype: jnp.dtype = jnp.float32
+    use_checkpoint: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, timesteps: jax.Array) -> jax.Array:
+        _Res = nn.remat(ResBlock2D) if self.use_checkpoint else ResBlock2D
+        _Attn = (
+            nn.remat(AttentionBlock2D) if self.use_checkpoint
+            else AttentionBlock2D
+        )
         mc = self.model_channels
         emb = timestep_embedding(timesteps, mc)
         emb = nn.Dense(mc * 4, dtype=self.dtype, name="time_dense0")(
@@ -267,14 +282,14 @@ class EncoderUNet(nn.Module):
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
-                h = ResBlock2D(int(mult * mc), mc * 4, self.use_scale_shift_norm,
+                h = _Res(int(mult * mc), mc * 4, self.use_scale_shift_norm,
                                dtype=self.dtype, name=f"down_{level}_{i}")(h, emb)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock2D(self.num_head_channels, self.dtype,
+                    h = _Attn(self.num_head_channels, self.dtype,
                                          name=f"down_{level}_{i}_attn")(h)
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
-                    h = ResBlock2D(int(mult * mc), mc * 4,
+                    h = _Res(int(mult * mc), mc * 4,
                                    self.use_scale_shift_norm, down=True,
                                    dtype=self.dtype,
                                    name=f"down_{level}_down")(h, emb)
@@ -284,11 +299,11 @@ class EncoderUNet(nn.Module):
                 ds *= 2
 
         mid_ch = int(self.channel_mult[-1] * mc)
-        h = ResBlock2D(mid_ch, mc * 4, self.use_scale_shift_norm,
+        h = _Res(mid_ch, mc * 4, self.use_scale_shift_norm,
                        dtype=self.dtype, name="mid_res0")(h, emb)
-        h = AttentionBlock2D(self.num_head_channels, self.dtype,
+        h = _Attn(self.num_head_channels, self.dtype,
                              name="mid_attn")(h)
-        h = ResBlock2D(mid_ch, mc * 4, self.use_scale_shift_norm,
+        h = _Res(mid_ch, mc * 4, self.use_scale_shift_norm,
                        dtype=self.dtype, name="mid_res1")(h, emb)
 
         if self.pool == "adaptive":

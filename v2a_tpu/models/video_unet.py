@@ -976,7 +976,6 @@ class ResBlock3D(nn.Module):
         self,
         x: jax.Array,
         emb: jax.Array,
-        *,
         stats: Optional[jax.Array] = None,
         deterministic: bool = True,
     ):
@@ -1515,6 +1514,13 @@ class VideoUNet(nn.Module):
     # Pallas ResBlock-interior fusion (temporal conv + emb/residual adds +
     # GroupNorm statistics forwarding); numerically equivalent, TPU-fast
     fused: bool = False
+    # Gradient checkpointing: rematerialize each ResBlock/attention block
+    # during the backward pass instead of storing its activations — the
+    # reference's `use_checkpoint` (`.../guided_diffusion/nn.py:192-236`,
+    # wired per-block at `.../guided_diffusion/unet.py:160,174,184`). Only
+    # meaningful for training, so it applies to the non-fused path (the
+    # fused Pallas kernels are inference-only, see VideoPredModel._model_fn).
+    use_checkpoint: bool = False
 
     @nn.compact
     def __call__(
@@ -1555,6 +1561,19 @@ class VideoUNet(nn.Module):
         # like the activations. Attention output breaks the chain (st=None,
         # small tensors at ds 8/16 — the norm recomputes there).
         fused = self.fused
+        # Gradient checkpointing (`use_checkpoint`): block-level jax.remat,
+        # matching the reference's per-ResBlock/attention checkpoint
+        # granularity. Static argnums count `self` as 0 in linen's
+        # transform accounting; the Python-bool args (`deterministic`,
+        # `want_stats`) must be static under jax.remat, so remat'd blocks
+        # are invoked positionally below.
+        remat = self.use_checkpoint and not fused
+        _Res = nn.remat(ResBlock3D, static_argnums=(4,)) if remat else ResBlock3D
+        _Attn = (
+            nn.remat(SpatialAttentionBlock, static_argnums=(3,))
+            if remat
+            else SpatialAttentionBlock
+        )
         hs = []
         st = None
         hh, ww = x.shape[2], x.shape[3]
@@ -1582,17 +1601,17 @@ class VideoUNet(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             ch = int(mult * mc)
             for _ in range(self.num_res_blocks):
-                h = ResBlock3D(
+                h = _Res(
                     ch, self.dropout, self.use_scale_shift_norm, self.dtype,
                     self.use_pallas_gn, fused, name=f"down_res_{block_idx}",
-                )(h, emb, stats=st, deterministic=deterministic)
+                )(h, emb, st, deterministic)
                 if fused:
                     h, st = h
                 if ds in self.attention_resolutions:
-                    h = SpatialAttentionBlock(
+                    h = _Attn(
                         self.num_head_channels, self.dtype,
                         self.use_pallas_gn, name=f"down_attn_{block_idx}",
-                    )(h, stats=st, want_stats=fused)
+                    )(h, st, fused)
                     if fused:
                         h, st = h
                     else:
@@ -1619,24 +1638,24 @@ class VideoUNet(nn.Module):
 
         # -- middle
         mid_ch = int(self.channel_mult[-1] * mc)
-        h = ResBlock3D(
+        h = _Res(
             mid_ch, self.dropout, self.use_scale_shift_norm, self.dtype,
             self.use_pallas_gn, fused, name="mid_res0",
-        )(h, emb, stats=st, deterministic=deterministic)
+        )(h, emb, st, deterministic)
         if fused:
             h, st = h
-        h = SpatialAttentionBlock(
+        h = _Attn(
             self.num_head_channels, self.dtype, self.use_pallas_gn,
             name="mid_attn",
-        )(h, stats=st, want_stats=fused)
+        )(h, st, fused)
         if fused:
             h, st = h
         else:
             st = None
-        h = ResBlock3D(
+        h = _Res(
             mid_ch, self.dropout, self.use_scale_shift_norm, self.dtype,
             self.use_pallas_gn, fused, name="mid_res1",
-        )(h, emb, stats=st, deterministic=deterministic)
+        )(h, emb, st, deterministic)
         if fused:
             h, st = h
 
@@ -1670,17 +1689,17 @@ class VideoUNet(nn.Module):
                         st_in = jnp.concatenate([st, skip_st], axis=-1)
                     else:
                         st_in = None
-                h = ResBlock3D(
+                h = _Res(
                     ch, self.dropout, self.use_scale_shift_norm, self.dtype,
                     self.use_pallas_gn, fused, name=f"up_res_{block_idx}",
-                )(h_in, emb, stats=st_in, deterministic=deterministic)
+                )(h_in, emb, st_in, deterministic)
                 if fused:
                     h, st = h
                 if ds in self.attention_resolutions:
-                    h = SpatialAttentionBlock(
+                    h = _Attn(
                         self.num_head_channels, self.dtype,
                         self.use_pallas_gn, name=f"up_attn_{block_idx}",
-                    )(h, stats=st, want_stats=fused)
+                    )(h, st, fused)
                     if fused:
                         h, st = h
                     else:

@@ -182,6 +182,9 @@ class VideoUNetXAttn(nn.Module):
     attn_heads: int = 8
     context_dim: int = 512
     dtype: jnp.dtype = jnp.float32
+    # Gradient checkpointing: block-level jax.remat (the reference's
+    # `use_checkpoint`, `.../guided_diffusion/nn.py:192-236`).
+    use_checkpoint: bool = False
 
     @nn.compact
     def __call__(
@@ -190,6 +193,10 @@ class VideoUNetXAttn(nn.Module):
         timesteps: jax.Array,
         task_tokens: jax.Array,
     ) -> jax.Array:
+        ckpt = self.use_checkpoint
+        _Res = nn.remat(ResBlock2p1D) if ckpt else ResBlock2p1D
+        _XAttn = nn.remat(SpatialCrossAttnBlock) if ckpt else SpatialCrossAttnBlock
+        _TAttn = nn.remat(TemporalAttnBlock) if ckpt else TemporalAttnBlock
         ch0 = self.block_out_channels[0]
         temb_dim = ch0 * 4
         emb = timestep_embedding(timesteps, ch0)
@@ -211,11 +218,11 @@ class VideoUNetXAttn(nn.Module):
         skips = [y]
         for lv, ch in enumerate(self.block_out_channels):
             for i in range(self.layers_per_block):
-                y = ResBlock2p1D(ch, self.dtype, name=f"down_{lv}_res{i}")(y, emb)
-                y = SpatialCrossAttnBlock(
+                y = _Res(ch, self.dtype, name=f"down_{lv}_res{i}")(y, emb)
+                y = _XAttn(
                     ch, self.attn_heads, self.dtype, name=f"down_{lv}_xattn{i}"
                 )(y, ctx)
-                y = TemporalAttnBlock(
+                y = _TAttn(
                     ch, dtype=self.dtype, name=f"down_{lv}_tattn{i}"
                 )(y)
                 skips.append(y)
@@ -230,21 +237,21 @@ class VideoUNetXAttn(nn.Module):
                 skips.append(y)
 
         mid_ch = self.block_out_channels[-1]
-        y = ResBlock2p1D(mid_ch, self.dtype, name="mid_res0")(y, emb)
-        y = SpatialCrossAttnBlock(
+        y = _Res(mid_ch, self.dtype, name="mid_res0")(y, emb)
+        y = _XAttn(
             mid_ch, self.attn_heads, self.dtype, name="mid_xattn"
         )(y, ctx)
-        y = TemporalAttnBlock(mid_ch, dtype=self.dtype, name="mid_tattn")(y)
-        y = ResBlock2p1D(mid_ch, self.dtype, name="mid_res1")(y, emb)
+        y = _TAttn(mid_ch, dtype=self.dtype, name="mid_tattn")(y)
+        y = _Res(mid_ch, self.dtype, name="mid_res1")(y, emb)
 
         for lv, ch in reversed(list(enumerate(self.block_out_channels))):
             for i in range(self.layers_per_block + 1):
                 y = jnp.concatenate([y, skips.pop()], axis=-1)
-                y = ResBlock2p1D(ch, self.dtype, name=f"up_{lv}_res{i}")(y, emb)
-                y = SpatialCrossAttnBlock(
+                y = _Res(ch, self.dtype, name=f"up_{lv}_res{i}")(y, emb)
+                y = _XAttn(
                     ch, self.attn_heads, self.dtype, name=f"up_{lv}_xattn{i}"
                 )(y, ctx)
-                y = TemporalAttnBlock(
+                y = _TAttn(
                     ch, dtype=self.dtype, name=f"up_{lv}_tattn{i}"
                 )(y)
             if lv:

@@ -48,6 +48,12 @@ class VideoTrainerConfig:
     log_freq: int = 100
     n_saves: int = 5
     schedule_sampler: str = "uniform"  # or 'loss-second-moment'
+    # Gradient checkpointing (the reference's `use_checkpoint`,
+    # `.../guided_diffusion/nn.py:192-236`): rematerialize each U-Net
+    # block's activations in the backward pass — the memory lever that
+    # lets the 7-frame 128² video U-Net train at real batch sizes in
+    # 16 GB HBM, at the cost of an extra forward's FLOPs.
+    use_checkpoint: bool = False
 
 
 class VideoClipDataset:
@@ -135,7 +141,16 @@ class VideoModelTrainer:
         ema_cfg = ema_config or EMAConfig()
 
         diffusion = model.diffusion
+        # Train through the plain (non-Pallas) module: the fused inference
+        # kernels define no VJP (see VideoPredModel._model_fn). Both
+        # variants share the identical parameter tree, as does the
+        # remat'd (use_checkpoint) variant.
         unet = model.unet
+        if getattr(unet, "fused", False):
+            unet = unet.clone(fused=False)
+        if self.cfg.use_checkpoint:
+            unet = unet.clone(use_checkpoint=True)
+        self.train_unet = unet  # introspectable (tests/test_remat.py)
 
         def train_step(state, rng, video, x_cond, task_embed, t, weights):
             def loss_fn(params):
