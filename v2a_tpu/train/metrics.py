@@ -17,6 +17,16 @@ import time
 from typing import Dict, Optional
 
 
+def per_task_metric_names(task: str):
+    """The reference's per-task wandb keys (`make_wandb_dict_per_tk`,
+    `lb_online_trainer_v7.py:1314-1323`): (rollout counter, success-vs-
+    rollouts counter)."""
+    return (
+        f"explo/{task}-cnt_vid_rollouts",
+        f"explo/{task}-cnt_explore_suc_vsR",
+    )
+
+
 class MetricsLogger:
     def __init__(self, workdir: str, use_tensorboard: bool = False,
                  use_wandb: bool = False, wandb_kwargs: Optional[dict] = None):
@@ -40,6 +50,30 @@ class MetricsLogger:
                 wandb.init(**(wandb_kwargs or {}))
             except Exception:
                 self._wandb = None
+
+    def define_metric(self, name: str, step_metric: Optional[str] = None):
+        """Custom metric axes (`lb_online_trainer_v7.py:1326-1332`
+        `init_wandb_metrics`): the per-task success counters plot against
+        that task's rollout counter rather than the global step. Forwards
+        to `wandb.define_metric` when the wandb sink is live; recorded in
+        the JSONL header either way so offline plotting can honor it."""
+        record = {"_define_metric": name}
+        if step_metric is not None:
+            record["step_metric"] = step_metric
+        self._file.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            if step_metric is not None:
+                self._wandb.define_metric(name, step_metric=step_metric)
+            else:
+                self._wandb.define_metric(name)
+
+    def init_per_task_metrics(self, task_list):
+        """Reference `init_wandb_metrics`: per task, `cnt_vid_rollouts` is
+        itself an axis and `cnt_explore_suc_vsR` plots against it."""
+        for tk in task_list:
+            roll, suc = per_task_metric_names(tk)
+            self.define_metric(roll)
+            self.define_metric(suc, step_metric=roll)
 
     def log(self, metrics: Dict[str, float], step: int):
         record = {"step": int(step), "time": time.time()}
