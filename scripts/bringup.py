@@ -99,10 +99,30 @@ SMALL = dict(
     attention_resolutions=(2,), num_head_channels=32,
 )
 
+# The RELEASE model's parameter schema (`lb_video_model_utils.py:33-39`:
+# 128 base channels, mult 1-5, 2 res blocks, attention at ds 8/16,
+# 32-wide heads, 512-dim CLIP conditioning). The torch-oracle mode builds a
+# random-weight checkpoint with EXACTLY the real `model-180000.pt` key
+# names and tensor shapes (the model is fully convolutional, so the
+# parameter tree is independent of image size / frame count — those are
+# kept small purely for CPU wall-clock).
+REAL = dict(
+    model_channels=128, num_res_blocks=2, channel_mult=(1, 2, 3, 4, 5),
+    attention_resolutions=(8, 16), num_head_channels=32,
+)
+REAL_TEXT_DIM = 512
+SMALL_TEXT_DIM = 64
 
-def small_config():
+
+def small_config(real_shape: bool = False):
     from v2a_tpu.models.video_model import VideoModelConfig
 
+    if real_shape:
+        return VideoModelConfig(
+            image_size=(32, 32), sample_per_seq=3, timesteps=100,
+            sampling_timesteps=3, text_dim=REAL_TEXT_DIM, fused=False,
+            **REAL,
+        )
     return VideoModelConfig(
         image_size=(32, 32), sample_per_seq=4, timesteps=10,
         sampling_timesteps=10, text_dim=64, fused=False, **SMALL,
@@ -126,11 +146,17 @@ def _bytes_to_unicode():
     return dict(zip(bs, map(chr, cs)))
 
 
-def make_synthetic_assets(out_dir):
-    """Build (pt_path, clip_dir): a SMALL reference-format video checkpoint
+def make_synthetic_assets(out_dir, real_shape: bool = False):
+    """Build (pt_path, clip_dir): a reference-format video checkpoint
     (weights from the LIVE reference `UNetModel`, so the converter is
     exercised against the real key schema) and a synthetic CLIP text tower
-    with a real byte-level-BPE tokenizer (characters only, no merges)."""
+    with a real byte-level-BPE tokenizer (characters only, no merges).
+
+    `real_shape=True` (the `--torch-oracle` mode) instantiates the torch
+    model at the RELEASE parameter schema — every key name and tensor
+    shape of the real `model-180000.pt` EMA state dict
+    (`diffuser/models/video_model.py:38-46`) — so checkpoint-layout drift
+    in the converter is impossible to miss before real assets arrive."""
     import torch
     import transformers
 
@@ -144,10 +170,12 @@ def make_synthetic_assets(out_dir):
         sys.path.insert(0, REF)
     from guided_diffusion.guided_diffusion.unet import UNetModel
 
+    model_kw = REAL if real_shape else SMALL
+    text_dim = REAL_TEXT_DIM if real_shape else SMALL_TEXT_DIM
     torch.manual_seed(0)
     tm = UNetModel(
         image_size=(32, 32), in_channels=6, out_channels=3, dims=3,
-        task_tokens=True, task_token_channels=64, **SMALL,
+        task_tokens=True, task_token_channels=text_dim, **model_kw,
     ).eval()
     # trainer checkpoint format: EMA U-Net under ema.ema_model.model.unet.*
     # (`diffuser/models/video_model.py:38-46`)
@@ -164,8 +192,8 @@ def make_synthetic_assets(out_dir):
     clip_dir = os.path.join(out_dir, "synthetic-clip")
     os.makedirs(clip_dir, exist_ok=True)
     ccfg = transformers.CLIPTextConfig(
-        vocab_size=49408, hidden_size=64, num_hidden_layers=12,
-        num_attention_heads=8, intermediate_size=256,
+        vocab_size=49408, hidden_size=text_dim, num_hidden_layers=12,
+        num_attention_heads=8, intermediate_size=text_dim * 4,
         max_position_embeddings=77,
     )
     torch.manual_seed(1)
@@ -222,9 +250,18 @@ def main(argv=None):
     ap.add_argument("--out-dir", default="bringup_out")
     ap.add_argument("--synthetic", action="store_true",
                     help="build small synthetic stand-ins (CI mode)")
+    ap.add_argument("--torch-oracle", action="store_true",
+                    help="synthetic mode at the RELEASE parameter schema: "
+                         "a random-weight torch EMA checkpoint with the "
+                         "exact model-180000.pt key layout is built, "
+                         "converted, and forward-parity-checked (slow on "
+                         "CPU; catches converter layout drift before real "
+                         "assets arrive)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (synthetic default)")
     args = ap.parse_args(argv)
+    if args.torch_oracle:
+        args.synthetic = True
 
     os.makedirs(args.out_dir, exist_ok=True)
     if args.synthetic or args.cpu:
@@ -243,9 +280,11 @@ def main(argv=None):
     # 1. assets
     def step_assets():
         if args.synthetic:
-            pt, clip, tm = make_synthetic_assets(args.out_dir)
+            pt, clip, tm = make_synthetic_assets(
+                args.out_dir, real_shape=args.torch_oracle
+            )
             state["pt"], state["clip"], state["torch_ref"] = pt, clip, tm
-            state["cfg"] = small_config()
+            state["cfg"] = small_config(real_shape=args.torch_oracle)
         else:
             if not args.pt:
                 raise ValueError("--pt required (or --synthetic)")
@@ -336,7 +375,7 @@ def main(argv=None):
         b, f, hw = 1, state["cfg"].video_future_horizon, 32
         x = rs.randn(b, 6, f, hw, hw).astype(np.float32)
         t = np.array([3])
-        tokens = rs.randn(b, 5, 64).astype(np.float32)
+        tokens = rs.randn(b, 5, state["cfg"].text_dim).astype(np.float32)
         with torch.no_grad():
             out_t = tm(torch.tensor(x), torch.tensor(t, dtype=torch.long),
                        torch.tensor(tokens)).numpy()
