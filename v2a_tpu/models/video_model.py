@@ -301,6 +301,35 @@ class VideoPredModel:
         because `sample()` already clamps to [0, 1]."""
         return _quantize_u8(self.sample(rng, x_conds, tasks))
 
+    # -- chunked sampling (explore-cycle pipelining) ------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _sample_chunk_jit(self, params, img, x_cond_n, task_embed, inputs):
+        return self.diffusion.sample_scan_chunk(
+            self._model_fn(params["unet"]), img, inputs, x_cond_n, task_embed
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _sample_finish_u8_jit(self, img):
+        return _quantize_u8(self.diffusion.sample_finish(img))
+
+    def sample_u8_stream(
+        self, rng: jax.Array, x_conds: np.ndarray, tasks: List[str],
+        n_chunks: int = 20,
+    ) -> "VideoSampleStream":
+        """An incrementally-dispatched `sample_u8`: the denoise chain is cut
+        into `n_chunks` device programs that the caller pumps one at a time
+        (`VideoSampleStream.pump`), so a single chip can interleave them
+        with other work (the exploration rollout phase's policy programs —
+        trainer `pipeline_explore`). Computes the exact `sample_u8`
+        sequence: same key derivation, same step bodies, same clamp and
+        uint8 quantization (`tests/test_explore_pipeline.py`)."""
+        if self.params is None:
+            raise RuntimeError("call init() or load converted params first")
+        if x_conds.shape[0] != len(tasks):
+            raise ValueError("batch size mismatch between frames and tasks")
+        return VideoSampleStream(self, rng, x_conds, tasks, n_chunks)
+
     # -- training loss (video-model finetuning parity;
     #    `goal_diffusion.py:690-733`) --------------------------------------
 
@@ -323,3 +352,66 @@ class VideoPredModel:
             int(np.prod(p.shape))
             for p in jax.tree_util.tree_leaves(self.params)
         )
+
+
+class VideoSampleStream:
+    """One guidance-video sampling chain, dispatched chunk by chunk.
+
+    Created by `VideoPredModel.sample_u8_stream`. The constructor only
+    derives the chain inputs (x_T + per-step keys — the same derivation as
+    `sample()`); no denoise work is dispatched until `pump()`. `result_u8()`
+    pumps any remaining chunks and returns the device uint8 array (readback
+    happens at the caller's `np.asarray`)."""
+
+    def __init__(self, model, rng, x_conds, tasks, n_chunks):
+        cfg = model.config
+        self._model = model
+        self._params = model.params
+        self._task_embed = model.encode_batch_text(model.params, list(tasks))
+        h, w = cfg.image_size
+        shape = (
+            x_conds.shape[0], cfg.video_future_horizon, h, w, cfg.channels
+        )
+        x = jnp.asarray(x_conds)
+        self._x_cond_n = (x * 2.0 - 1.0)[:, None]
+        self._img, self._inputs = model.diffusion.sample_step_inputs(
+            rng, shape
+        )
+        n_steps = int(self._inputs[1].shape[0])
+        k = max(1, -(-n_steps // max(n_chunks, 1)))  # ceil
+        self._bounds = [
+            (a, min(a + k, n_steps)) for a in range(0, n_steps, k)
+        ]
+        self._next = 0
+        self._result = None
+
+    @property
+    def chunks_left(self) -> int:
+        return len(self._bounds) - self._next
+
+    def pump(self, k: int = 1) -> bool:
+        """Dispatch up to `k` pending chunks (non-blocking on accelerator
+        backends — jax dispatch is async). Returns True while work remains."""
+        while k > 0 and self._next < len(self._bounds):
+            a, b = self._bounds[self._next]
+            chunk = jax.tree_util.tree_map(
+                lambda x: x[a:b], self._inputs
+            )
+            self._img = self._model._sample_chunk_jit(
+                self._params, self._img, self._x_cond_n, self._task_embed,
+                chunk,
+            )
+            self._next += 1
+            k -= 1
+        return self._next < len(self._bounds)
+
+    def result_u8(self):
+        """Finish the chain; returns the device uint8 video array."""
+        if self._result is None:
+            while self.pump(1):
+                pass
+            self.pump(0)  # no-op; keeps pump() the single dispatch site
+            self._result = self._model._sample_finish_u8_jit(self._img)
+            # drop chain state so buffers free as soon as callers let go
+            self._img = self._inputs = None
+        return self._result

@@ -240,22 +240,29 @@ class GaussianDiffusion:
         )
         timesteps = jnp.arange(self.num_timesteps - 1, -1, -1)
         step_rngs = jax.random.split(rng, self.num_timesteps)
+        img, _ = jax.lax.scan(
+            self._p_step_fn(model_fn, x_cond, task_embed),
+            img, (timesteps, step_rngs), unroll=self.scan_unroll,
+        )
+        return self._unnormalize(img)
+
+    def _p_step_fn(self, model_fn, x_cond, task_embed):
+        """One ancestral denoise step as a scan body — shared by the
+        one-scan sampler above and the chunked dispatch path
+        (`sample_scan_chunk`), so both compute the identical sequence."""
 
         def step(img, inputs):
             t_scalar, step_rng = inputs
-            t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+            t = jnp.full((img.shape[0],), t_scalar, dtype=jnp.int32)
             preds = self.model_predictions(model_fn, img, t, x_cond, task_embed)
             x_start = jnp.clip(preds.pred_x_start, -1.0, 1.0)
             mean, log_var = self.q_posterior(x_start, img, t)
-            noise = jax.random.normal(step_rng, shape, dtype=jnp.float32)
+            noise = jax.random.normal(step_rng, img.shape, dtype=jnp.float32)
             noise = jnp.where(t_scalar > 0, noise * self.var_temp, 0.0)
             img = mean + jnp.exp(0.5 * log_var) * noise
             return img, None
 
-        img, _ = jax.lax.scan(
-            step, img, (timesteps, step_rngs), unroll=self.scan_unroll
-        )
-        return self._unnormalize(img)
+        return step
 
     # -- DDIM sampling (goal_diffusion.py:601-641) ------------------------
 
@@ -286,13 +293,21 @@ class GaussianDiffusion:
             else jax.random.normal(init_rng, shape, dtype=jnp.float32)
         )
         step_rngs = jax.random.split(rng, pairs.shape[0])
+        img, _ = jax.lax.scan(
+            self._ddim_step_fn(model_fn, x_cond, task_embed),
+            img, (pairs, step_rngs), unroll=self.scan_unroll,
+        )
+        return self._unnormalize(img)
+
+    def _ddim_step_fn(self, model_fn, x_cond, task_embed):
+        """One DDIM step as a scan body (see `_p_step_fn`)."""
         eta = self.ddim_sampling_eta
         acp = self.schedule.alphas_cumprod
 
         def step(img, inputs):
             pair, step_rng = inputs
             time, time_next = pair[0], pair[1]
-            t = jnp.full((shape[0],), time, dtype=jnp.int32)
+            t = jnp.full((img.shape[0],), time, dtype=jnp.int32)
             pred_noise, x_start = self.model_predictions(
                 model_fn, img, t, x_cond, task_embed,
                 clip_x_start=False, rederive_pred_noise=True,
@@ -311,7 +326,7 @@ class GaussianDiffusion:
                     (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
                 )
                 c = jnp.sqrt(jnp.maximum(1.0 - alpha_next - sigma**2, 0.0))
-                noise = jax.random.normal(step_rng, shape, dtype=jnp.float32)
+                noise = jax.random.normal(step_rng, img.shape, dtype=jnp.float32)
                 stepped = (
                     x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
                 )
@@ -319,10 +334,7 @@ class GaussianDiffusion:
             img = jnp.where(time_next < 0, x_start, stepped)
             return img, None
 
-        img, _ = jax.lax.scan(
-            step, img, (pairs, step_rngs), unroll=self.scan_unroll
-        )
-        return self._unnormalize(img)
+        return step
 
     def sample(
         self,
@@ -336,6 +348,44 @@ class GaussianDiffusion:
         fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
         pred = fn(model_fn, rng, shape, x_cond, task_embed)
         return jnp.clip(pred, 0.0, 1.0)
+
+    # -- chunked sampling (explore-cycle pipelining) ------------------------
+    #
+    # The one-scan samplers above dispatch the whole denoise chain as ONE
+    # device program, which monopolizes a single chip for the full chain
+    # duration. The exploration pipeline instead dispatches the chain in
+    # contiguous chunks, interleaving them with the rollout phase's policy
+    # programs so the chip stays busy during host sim/readback gaps
+    # (trainer `pipeline_explore`). The three methods below split
+    # `sample()` into (inputs, chunk-scan, finish) such that running every
+    # chunk in order reproduces `sample()`'s computation sequence exactly —
+    # same keys, same step bodies, same clamp.
+
+    def sample_step_inputs(self, rng, shape):
+        """(x_T, per-step scan operands) with the EXACT key derivation of
+        `p_sample_loop`/`ddim_sample` above."""
+        rng, init_rng = jax.random.split(rng)
+        img = jax.random.normal(init_rng, shape, dtype=jnp.float32)
+        if self.is_ddim_sampling:
+            pairs = jnp.asarray(self.ddim_time_pairs())
+            step_rngs = jax.random.split(rng, pairs.shape[0])
+            return img, (pairs, step_rngs)
+        timesteps = jnp.arange(self.num_timesteps - 1, -1, -1)
+        step_rngs = jax.random.split(rng, self.num_timesteps)
+        return img, (timesteps, step_rngs)
+
+    def sample_scan_chunk(self, model_fn, img, inputs, x_cond, task_embed):
+        """Run one contiguous slice of the sampler's steps."""
+        step = (
+            self._ddim_step_fn(model_fn, x_cond, task_embed)
+            if self.is_ddim_sampling
+            else self._p_step_fn(model_fn, x_cond, task_embed)
+        )
+        img, _ = jax.lax.scan(step, img, inputs, unroll=self.scan_unroll)
+        return img
+
+    def sample_finish(self, img):
+        return jnp.clip(self._unnormalize(img), 0.0, 1.0)
 
     # -- training (goal_diffusion.py:690-733) ------------------------------
 
