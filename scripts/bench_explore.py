@@ -91,11 +91,37 @@ def main():
         par = time.perf_counter() - t0
     results["explore_parallel_s"] = round(par, 1)
 
+    # -- pipelined cycles (cfg.pipeline_explore): next cycle's video chain
+    # dispatched in chunks behind this cycle's rollout policy programs.
+    # Steady-state cycle ~ max(video, rollouts); measure the SECOND+ cycles
+    # (the first pays the un-prefetched chain synchronously).
+    with EnvWorkerPool("fake-8tk-v0", n_workers=8) as pool:
+        trainer_pl = OnlineTrainer(
+            policy, envs, TrainerConfig(
+                randsam_path="", min_len_uB=30, pipeline_explore=True,
+            ),
+            "/tmp/explore_bench_wd3",
+            video_model=video, explore_config=ecfg, seed=0,
+            env_pool=pool,
+        )
+        trainer_pl.video_guided_explore()  # compile + first (cold) cycle
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            trainer_pl.video_guided_explore()
+            times.append(time.perf_counter() - t0)
+        pipelined = sorted(times)[len(times) // 2]
+    results["explore_pipelined_s"] = round(pipelined, 1)
+    results["explore_pipelined_iters_s"] = [round(t, 1) for t in times]
+
     # reference-style estimate: 8 separate batch-1 video samples instead of
     # one batch-8 call, same serial rollouts
     ref_style = serial - v8 + 8 * v1
     results["explore_reference_style_est_s"] = round(ref_style, 1)
     results["speedup_vs_reference_style"] = round(ref_style / par, 2)
+    results["speedup_pipelined_vs_reference_style"] = round(
+        ref_style / pipelined, 2
+    )
     print(json.dumps(results))
 
 

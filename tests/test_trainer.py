@@ -436,3 +436,43 @@ def test_overlap_with_live_rand_explore_coincidence(tmp_path):
     assert trainer.cnt_vid_rollouts >= 2
     assert trainer._explore_thread is None
     trainer.envs.check_no_envs_exist()
+
+
+def test_overlap_with_live_rand_explore_staggered(tmp_path):
+    """The ACTUAL overlap case the coincidence test misses: live rand at a
+    later step (6) joining a video cycle spawned at step 4 that may still be
+    in flight. The loop must join the worker BEFORE live rand touches the
+    shared envs/executor (trainer loop: join+flush ahead of rand explore)."""
+    trainer = small_trainer(
+        tmp_path, with_h5=False,
+        overlap_explore=True, rand_explo_type="live",
+        video_explo_freq=4, rand_explo_freq=6,
+    )
+
+    orig_live = trainer.live_rand_explore
+    orig_spawn = trainer._spawn_explore
+    spawned = []
+
+    def spawn_recording():
+        orig_spawn()
+        spawned.append(trainer.step)
+
+    def live_asserting(n_ep):
+        # the in-flight video cycle must be joined before live rand runs
+        assert trainer._explore_thread is None, (
+            "live rand explore ran while a video cycle was in flight"
+        )
+        trainer.envs.check_no_envs_exist()
+        return orig_live(n_ep)
+
+    trainer._spawn_explore = spawn_recording
+    trainer.live_rand_explore = live_asserting
+    trainer.train()
+
+    assert trainer.step == 10
+    assert spawned, "no overlapped video cycle was ever spawned"
+    assert 4 in spawned  # step 4: video only -> overlapped
+    assert trainer.cnt_vid_rollouts >= len(trainer.envs.task_list)
+    assert len(trainer.envBuf_rand) > 0  # live rand episodes landed
+    assert trainer._explore_thread is None
+    trainer.envs.check_no_envs_exist()

@@ -36,7 +36,7 @@ from v2a_tpu.envs.base import EnvList
 from v2a_tpu.models.policy import DiffusionPolicy
 from v2a_tpu.train import checkpoint as ckpt
 from v2a_tpu.train.explore import ExploreConfig, GuidedRolloutExecutor
-from v2a_tpu.train.metrics import MetricsLogger, Timer
+from v2a_tpu.train.metrics import MetricsLogger, Timer, per_task_metric_names
 from v2a_tpu.train.train_state import (
     EMAConfig,
     OptimizerConfig,
@@ -111,6 +111,21 @@ class TrainerConfig:
     # also checkpoint the replay buffers (beyond the reference, whose resume
     # restarts buffer filling)
     checkpoint_buffers: bool = False
+    # Pipeline the exploration cycle: render the NEXT cycle's start frames
+    # at the top of the current cycle and dispatch its guidance-video chain
+    # in chunks that interleave with this cycle's rollout-phase policy
+    # programs — the chip works through the video chain during host
+    # sim/readback gaps instead of idling, so steady-state cycle wall-clock
+    # approaches max(video, rollouts) rather than their sum (VERDICT round-3
+    # item 3; the reference is fully serial, `lb_online_trainer_v7.py:
+    # 871-938`). Sound because the video model is FROZEN: videos depend
+    # only on (start frame, task, key), and the start frame is pinned by
+    # the recorded env seed the rollout reopens with. Episode equivalence
+    # vs the serial path: tests/test_explore_pipeline.py.
+    pipeline_explore: bool = False
+    # denoise-chain chunks per prefetched video (trade-off: more chunks =
+    # finer interleaving with policy programs, more dispatch overhead)
+    pipeline_video_chunks: int = 20
     # run video-guided exploration on a worker thread while training
     # continues, committing episodes/counters at a main-thread join barrier
     # (SURVEY §7 "start synchronous for parity, then overlap"). Deviation
@@ -144,6 +159,39 @@ class _ExploreSnapshot:
     def next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
+
+
+@dataclasses.dataclass
+class _VideoPrefetchState:
+    """Next cycle's exploration inputs, prepared ahead of time
+    (cfg.pipeline_explore): pinned env seeds + start frames + the guidance
+    videos as an incrementally-pumped device chain (`VideoSampleStream`)
+    or an eager array for video models without the stream API."""
+
+    assignments: list  # [(task, env_idx)]
+    seeds: list  # env seed per assignment (reopen pins the scene)
+    start_imgs: list  # uint8 start frames rendered at those seeds
+    videos: Any  # VideoSampleStream | ndarray | device array
+
+    def pump(self, k: int = 1) -> None:
+        if hasattr(self.videos, "pump"):
+            self.videos.pump(k)
+
+    def videos_u8(self) -> np.ndarray:
+        if hasattr(self.videos, "result_u8"):
+            return np.asarray(self.videos.result_u8())
+        return np.asarray(self.videos)
+
+
+class ExploreCycleError(RuntimeError):
+    """An exploration cycle failed mid-way. Episodes that completed
+    BEFORE the failure ride along in `.outcomes` so callers can commit them
+    instead of silently losing finished rollouts (the pre-refactor
+    synchronous path committed each episode as it finished)."""
+
+    def __init__(self, cause: BaseException, outcomes):
+        super().__init__(f"exploration cycle failed: {cause!r}")
+        self.outcomes = outcomes
 
 
 class IterTypeScheduler:
@@ -261,8 +309,17 @@ class OnlineTrainer:
         self.iter_sched = IterTypeScheduler(config)
         self.throttle = ExploreThrottle(config)
         self.metrics = MetricsLogger(workdir)
+        self.metrics.init_per_task_metrics(env_list.task_list)
         self.np_rng = np.random.default_rng(seed)
         self.rng = jax.random.PRNGKey(seed)
+        # Guidance-video keys come from a counter-indexed stream SEPARATE
+        # from the policy/train key order: pipelined exploration
+        # (cfg.pipeline_explore) draws the next cycle's video key one cycle
+        # early, and fold_in-by-counter makes that reordering invisible —
+        # cycle i's videos are bit-identical pipelined or serial
+        # (tests/test_explore_pipeline.py episode equivalence).
+        self.rng, self._video_key_base = jax.random.split(self.rng)
+        self._video_key_idx = 0
 
         # device state; with a mesh, batches split along the dp axes and XLA
         # compiles the grad all-reduce onto ICI (SURVEY §2.11: the
@@ -342,6 +399,8 @@ class OnlineTrainer:
         # debug composite
         self._last_rollout = None
         self._prefetch = None
+        # pipelined-exploration prefetch (cfg.pipeline_explore)
+        self._video_prefetch: Optional[_VideoPrefetchState] = None
         # overlapped-exploration state (cfg.overlap_explore)
         self._explore_thread: Optional[threading.Thread] = None
         self._explore_outcome: Optional[dict] = None
@@ -349,14 +408,25 @@ class OnlineTrainer:
 
     # -- policy access for exploration -----------------------------------
 
+    def _on_explore_worker(self) -> bool:
+        """True iff the caller IS the overlapped-exploration worker thread.
+        Dispatching on thread identity (not snapshot presence) keeps the
+        worker's private key stream worker-exclusive: a main-thread caller
+        (e.g. a future eval hook) while a cycle is in flight must use the
+        live state, not race on the snapshot's streams."""
+        return (
+            self._explore_thread is not None
+            and threading.current_thread() is self._explore_thread
+        )
+
     def _explore_params_and_key(self):
         """(ema_params, rng key) for one exploration-time policy call.
 
-        With an overlapped cycle in flight, the worker thread uses its
-        spawn-time snapshot (donation-safe copy + private key stream);
-        otherwise the live state and the trainer's main key are used."""
-        snap = self._explore_snapshot
-        if snap is not None:
+        On the overlapped worker thread this is the spawn-time snapshot
+        (donation-safe copy + private key stream); on the main thread the
+        live state and the trainer's main key are used."""
+        if self._on_explore_worker():
+            snap = self._explore_snapshot
             return snap.ema_params, snap.next_key()
         self.rng, sub = jax.random.split(self.rng)
         return self.state.ema_params, sub
@@ -369,6 +439,10 @@ class OnlineTrainer:
             "img_goal_1": jnp.asarray(img_goal01),
         }
         out = self._predict_ddim(params, sub, obs)
+        # pipelined exploration: slot one prefetched-video chunk behind the
+        # just-dispatched policy program (FIFO: the policy result is not
+        # delayed; the chunk runs while the host executes sim steps)
+        self._pump_video_prefetch()
         return np.asarray(out["action"][0])
 
     def _ema_policy_fn_batch(self, img_obs01: np.ndarray, img_goal01: np.ndarray):
@@ -380,6 +454,7 @@ class OnlineTrainer:
             "img_goal_1": jnp.asarray(img_goal01),
         }
         out = self._predict_ddim(params, sub, obs)
+        self._pump_video_prefetch()
         return np.asarray(out["action"])
 
     # -- data -------------------------------------------------------------
@@ -491,21 +566,112 @@ class OnlineTrainer:
         v01 = np.asarray(vm.sample(rng, imgs01, tasks))
         return (np.clip(v01, 0.0, 1.0) * 255.0).astype(np.uint8)
 
-    def _explore_key(self) -> jax.Array:
-        """One fresh key for exploration-time device calls (snapshot stream
-        when an overlapped cycle runs on the worker thread)."""
-        snap = self._explore_snapshot
-        if snap is not None:
-            return snap.next_key()
-        self.rng, sub = jax.random.split(self.rng)
-        return sub
+    def _next_video_key(self) -> jax.Array:
+        """The key for one guidance-video sampling call: fold_in by cycle
+        counter, independent of every other key stream (see __init__).
+        Consumed by whichever thread runs the cycle — at most one cycle
+        (and at most one prefetch) is ever in flight."""
+        key = jax.random.fold_in(self._video_key_base, self._video_key_idx)
+        self._video_key_idx += 1
+        return key
+
+    def _next_parallel_assignments(self):
+        """Rotate the task window across cycles so every task gets explored
+        even when the pool is smaller than the task list. Advances the
+        rotation — call once per (pre)planned cycle."""
+        tasks = self.envs.task_list
+        n = len(self.env_pool)
+        offset = getattr(self, "_pool_task_offset", 0)
+        assignments = []
+        for i in range(n):
+            task = tasks[(offset + i) % len(tasks)]
+            assignments.append((task, self.envs.seed_sets[task][0]))
+        self._pool_task_offset = (offset + n) % len(tasks)
+        return assignments
+
+    # -- pipelined exploration (cfg.pipeline_explore) -----------------------
+
+    def _take_video_prefetch(self) -> Optional[_VideoPrefetchState]:
+        stash, self._video_prefetch = self._video_prefetch, None
+        return stash
+
+    def _pump_video_prefetch(self) -> None:
+        stash = self._video_prefetch
+        if stash is not None:
+            stash.pump(1)
+
+    def _dispatch_videos(self, start_imgs_u8, tasks):
+        """Start one guidance-video sampling chain WITHOUT reading it back:
+        a chunked `VideoSampleStream` when the model supports it (pumped at
+        each rollout policy call), else the eager one-program path."""
+        rng = self._next_video_key()
+        vm = self.video_model
+        if hasattr(vm, "sample_u8_stream"):
+            imgs01 = np.stack(start_imgs_u8).astype(np.float32) / 255.0
+            return vm.sample_u8_stream(
+                rng, imgs01, list(tasks),
+                n_chunks=self.cfg.pipeline_video_chunks,
+            )
+        return self._sample_videos_u8(rng, start_imgs_u8, tasks)
+
+    def _prefetch_videos(self, assignments) -> _VideoPrefetchState:
+        """Render start frames (serial env path) at freshly drawn seeds and
+        start the guidance-video chain for those frames."""
+        cam = self.envs.camera_list[0]
+        seeds, start_imgs = [], []
+        for task, env_idx in assignments:
+            self.envs.init_1_given_env(task, env_idx, is_rand=True)
+            seeds.append(self.envs.actual_env_seeds[(task, env_idx)])
+            start_imgs.append(self.envs.render_an_env(task, cam, env_idx))
+            self.envs.close_1_given_env(task, env_idx)
+        videos = self._dispatch_videos(
+            start_imgs, [a[0] for a in assignments]
+        )
+        return _VideoPrefetchState(list(assignments), seeds, start_imgs, videos)
+
+    def _prefetch_videos_pool(self, assignments) -> _VideoPrefetchState:
+        """Pool variant of `_prefetch_videos`: render in the workers, then
+        CLOSE the envs (they reopen at the pinned seeds at rollout time, so
+        the envs stay free for live rand / eval between cycles)."""
+        pool = self.env_pool
+        cam = self.envs.camera_list[0]
+        pool.map([
+            (i, "init_1_given_env", (task, env_idx), {"is_rand": True})
+            for i, (task, env_idx) in enumerate(assignments)
+        ])
+        seed_dicts = pool.map([
+            (i, "attr:actual_env_seeds", (), {})
+            for i, _ in enumerate(assignments)
+        ])
+        seeds = [
+            seed_dicts[i][(task, env_idx)]
+            for i, (task, env_idx) in enumerate(assignments)
+        ]
+        start_imgs = pool.map([
+            (i, "render_an_env", (task, cam, env_idx), {})
+            for i, (task, env_idx) in enumerate(assignments)
+        ])
+        pool.map([
+            (i, "close_1_given_env", (task, env_idx), {})
+            for i, (task, env_idx) in enumerate(assignments)
+        ])
+        videos = self._dispatch_videos(
+            start_imgs, [a[0] for a in assignments]
+        )
+        return _VideoPrefetchState(list(assignments), seeds, start_imgs, videos)
 
     def video_guided_explore(self):
         """One exploration cycle over all tasks
         (`video_guided_explore` `lb_online_trainer_v7.py:859-938`):
         rollouts followed by an immediate commit — the reference's
-        synchronous interleaving (`:504-507`)."""
-        self._commit_explore(self._explore_rollouts())
+        synchronous interleaving (`:504-507`). On a mid-cycle failure the
+        episodes that DID finish are committed before the error surfaces."""
+        try:
+            outcomes = self._explore_rollouts()
+        except ExploreCycleError as exc:
+            self._commit_explore(exc.outcomes)
+            raise
+        self._commit_explore(outcomes)
 
     def _explore_rollouts(self):
         """Run one exploration cycle and return ``[(task, env_idx, result)]``
@@ -518,32 +684,52 @@ class OnlineTrainer:
             return self._explore_rollouts_parallel()
         self.envs.check_no_envs_exist()
         cam = self.envs.camera_list[0]
+        assignments = [
+            (task, self.envs.seed_sets[task][0])
+            for task in self.envs.task_list
+        ]
 
-        # batch ALL task start frames into one video-model call — the
-        # reference loops bs=1 (`:871-877`); batching is the first TPU win.
-        start_imgs = []
-        metas = []
-        for task in self.envs.task_list:
-            env_idx = self.envs.seed_sets[task][0]
-            self.envs.init_1_given_env(task, env_idx, is_rand=True)
-            start_imgs.append(self.envs.render_an_env(task, cam, env_idx))
-            metas.append((task, env_idx))
-            self.envs.close_1_given_env(task, env_idx)
+        if self.cfg.pipeline_explore:
+            # pipelined: this cycle's inputs were prepared last cycle; its
+            # video chain already ran during that cycle's rollout gaps.
+            # Dispatch any chunks still pending, prepare the NEXT cycle's
+            # inputs while they run, then read this cycle's videos back.
+            stash = self._take_video_prefetch()
+            if stash is None:
+                stash = self._prefetch_videos(assignments)
+            stash.pump(10**9)
+            self._video_prefetch = self._prefetch_videos(assignments)
+            metas = stash.assignments
+            seeds = list(stash.seeds)
+            videos_u8 = stash.videos_u8()
+        else:
+            # batch ALL task start frames into one video-model call — the
+            # reference loops bs=1 (`:871-877`); batching is the first TPU
+            # win.
+            start_imgs = []
+            metas = assignments
+            seeds = []
+            for task, env_idx in metas:
+                self.envs.init_1_given_env(task, env_idx, is_rand=True)
+                seeds.append(self.envs.actual_env_seeds[(task, env_idx)])
+                start_imgs.append(self.envs.render_an_env(task, cam, env_idx))
+                self.envs.close_1_given_env(task, env_idx)
 
-        vid_rng = self._explore_key()
-        videos_u8 = np.asarray(self._sample_videos_u8(
-            vid_rng, np.stack(start_imgs), [m[0] for m in metas]
-        ))
+            vid_rng = self._next_video_key()
+            videos_u8 = np.asarray(self._sample_videos_u8(
+                vid_rng, np.stack(start_imgs), [m[0] for m in metas]
+            ))
 
         # overlapped cycles give the executor a private numpy stream so the
         # trainer's generator stays main-thread-exclusive
-        snap = self._explore_snapshot
         old_ex_rng = None
-        if snap is not None:
-            old_ex_rng, self.executor.rng = self.executor.rng, snap.np_rng
+        if self._on_explore_worker():
+            old_ex_rng, self.executor.rng = (
+                self.executor.rng, self._explore_snapshot.np_rng
+            )
         outcomes = []
         try:
-            for (task, env_idx), video in zip(metas, videos_u8):
+            for (task, env_idx), video, seed in zip(metas, videos_u8, seeds):
                 # Re-create the env with the SAME seed that produced the
                 # frame the guidance video was conditioned on: Libero
                 # randomizes object placement per seed, so a fresh random
@@ -552,14 +738,25 @@ class OnlineTrainer:
                 # keeps one env alive throughout,
                 # `lb_online_trainer_v7.py:877-919`; the lazy close/reopen
                 # around the batched video call must preserve that scene).
-                seed = self.envs.actual_env_seeds[(task, env_idx)]
+                # The seed was captured at render time (not read from
+                # `actual_env_seeds` now): with pipeline_explore another
+                # consumer (live rand) may have re-seeded this env since.
                 self.envs.init_1_given_env(task, env_idx, e_seed=seed)
-                img_start = self.envs.render_an_env(task, cam, env_idx)
-                result = self.executor.execute(
-                    task, cam, env_idx, img_start, video
-                )
-                self.envs.close_1_given_env(task, env_idx)
+                try:
+                    img_start = self.envs.render_an_env(task, cam, env_idx)
+                    result = self.executor.execute(
+                        task, cam, env_idx, img_start, video
+                    )
+                finally:
+                    # a mid-rollout failure must not leak the env: the next
+                    # cycle's check_no_envs_exist would trip long after the
+                    # real error if a caught-and-continued exception left
+                    # this task open
+                    self.envs.close_1_given_env(task, env_idx)
                 outcomes.append((task, env_idx, result))
+        except Exception as exc:
+            # completed rollouts ride along so callers can commit them
+            raise ExploreCycleError(exc, outcomes) from exc
         finally:
             if old_ex_rng is not None:
                 self.executor.rng = old_ex_rng
@@ -571,36 +768,51 @@ class OnlineTrainer:
         policy predictions (`train/explore_batched.py`)."""
         pool = self.env_pool
         cam = self.envs.camera_list[0]
-        tasks = self.envs.task_list
-        n = len(pool)
-        # rotate the task window across cycles so every task gets explored
-        # even when the pool is smaller than the task list
-        offset = getattr(self, "_pool_task_offset", 0)
-        assignments = []
-        for i in range(n):
-            task = tasks[(offset + i) % len(tasks)]
-            assignments.append((task, self.envs.seed_sets[task][0]))
-        self._pool_task_offset = (offset + n) % len(tasks)
 
-        # concurrent env init + start-frame render in the workers
-        pool.map([
-            (i, "init_1_given_env", (task, env_idx),
-             {"is_rand": True})
-            for i, (task, env_idx) in enumerate(assignments)
-        ])
-        start_imgs = pool.map([
-            (i, "render_an_env", (task, cam, env_idx), {})
-            for i, (task, env_idx) in enumerate(assignments)
-        ])
+        if self.cfg.pipeline_explore:
+            stash = self._take_video_prefetch()
+            if stash is None:
+                stash = self._prefetch_videos_pool(
+                    self._next_parallel_assignments()
+                )
+            stash.pump(10**9)
+            self._video_prefetch = self._prefetch_videos_pool(
+                self._next_parallel_assignments()
+            )
+            assignments = stash.assignments
+            start_imgs = stash.start_imgs
+            videos_u8 = stash.videos_u8()
+            # reopen at the pinned seeds: same scene as the rendered frame
+            pool.map([
+                (i, "init_1_given_env", (task, env_idx),
+                 {"e_seed": stash.seeds[i]})
+                for i, (task, env_idx) in enumerate(assignments)
+            ])
+        else:
+            assignments = self._next_parallel_assignments()
+            # concurrent env init + start-frame render in the workers
+            pool.map([
+                (i, "init_1_given_env", (task, env_idx),
+                 {"is_rand": True})
+                for i, (task, env_idx) in enumerate(assignments)
+            ])
+            start_imgs = pool.map([
+                (i, "render_an_env", (task, cam, env_idx), {})
+                for i, (task, env_idx) in enumerate(assignments)
+            ])
 
-        vid_rng = self._explore_key()
-        videos_u8 = np.asarray(self._sample_videos_u8(
-            vid_rng, np.stack(start_imgs), [a[0] for a in assignments]
-        ))
+            vid_rng = self._next_video_key()
+            videos_u8 = np.asarray(self._sample_videos_u8(
+                vid_rng, np.stack(start_imgs), [a[0] for a in assignments]
+            ))
 
-        snap = self._explore_snapshot
-        seed_rng = snap.np_rng if snap is not None else self.np_rng
-        seeds = [int(seed_rng.integers(0, 2**31 - 1)) for _ in range(n)]
+        seed_rng = (
+            self._explore_snapshot.np_rng
+            if self._on_explore_worker() else self.np_rng
+        )
+        seeds = [
+            int(seed_rng.integers(0, 2**31 - 1)) for _ in range(len(assignments))
+        ]
         results = self._batched_executor.execute_all(
             assignments, cam, start_imgs, list(videos_u8), seeds
         )
@@ -678,7 +890,11 @@ class OnlineTrainer:
         self._explore_outcome = None
         self._explore_snapshot = None
         if "err" in outcome:
-            raise outcome["err"]
+            err = outcome["err"]
+            if isinstance(err, ExploreCycleError) and err.outcomes:
+                self._flush_prefetch()
+                self._commit_explore(err.outcomes)
+            raise err
         self._flush_prefetch()
         self._commit_explore(outcome["res"])
 
@@ -729,6 +945,11 @@ class OnlineTrainer:
         )
 
     def save(self, label: Optional[int] = None):
+        # a checkpoint taken while an overlapped cycle is in flight would
+        # exclude that cycle's episodes and counters (num_steps_in_env,
+        # cnt_vid_rollouts) — a crash before the join would silently
+        # undercount the env-step budget on resume. Join first.
+        self._join_explore()
         label = label if label is not None else (
             self.step // self.cfg.resolved_label_freq()
             * self.cfg.resolved_label_freq()
@@ -742,6 +963,9 @@ class OnlineTrainer:
             self.envBuf_vid.save(os.path.join(self.workdir, "buf_vid.npz"))
 
     def load(self, label: Optional[int] = None):
+        # a stash prepared pre-restore pins seeds/frames from the aborted
+        # run; drop it so the next cycle re-renders
+        self._video_prefetch = None
         self.state, extra = ckpt.restore_checkpoint(
             self.workdir, self.state, label
         )
@@ -908,10 +1132,7 @@ class OnlineTrainer:
                     "time/step_interval": timer(),
                 }
                 for tk in self.cnt_vid_rout_per_tk:
-                    metrics[f"explo/{tk}-cnt_vid_rollouts"] = (
-                        self.cnt_vid_rout_per_tk[tk]
-                    )
-                    metrics[f"explo/{tk}-cnt_explore_suc_vsR"] = (
-                        self.cnt_explo_suc_per_tk[tk]
-                    )
+                    roll_key, suc_key = per_task_metric_names(tk)
+                    metrics[roll_key] = self.cnt_vid_rout_per_tk[tk]
+                    metrics[suc_key] = self.cnt_explo_suc_per_tk[tk]
                 self.metrics.log(metrics, new_step)
