@@ -44,9 +44,19 @@ def main():
 
     policy = DiffusionPolicy.create(cfg)
     params = policy.init(jax.random.PRNGKey(0))
+    loss_fn = policy.loss
+    if os.environ.get("V2A_PACK_SMALL", "0") == "1":
+        # experiment: pack the 208 tiny leaves into one vector so the
+        # optimizer/norm/prefetch passes over them are single fused ops
+        from v2a_tpu.train.train_state import SmallLeafPacker
+
+        packer = SmallLeafPacker(params)
+        inner = loss_fn
+        loss_fn = lambda pt, rng, b: inner(packer.unpack(pt), rng, b)  # noqa: E731
+        params = packer.pack(params)
     tx = make_optimizer(OptimizerConfig())
     state = TrainState.create(params, tx)
-    train_step = make_train_step(policy.loss, tx, EMAConfig())
+    train_step = make_train_step(loss_fn, tx, EMAConfig())
     step = jax.jit(train_step, donate_argnums=(0,))
 
     # Scan-chained variant: n_iters sequential steps inside ONE compiled

@@ -124,12 +124,135 @@ def worker(out_path):
           f"video mean={video.mean():.4f} std={video.std():.4f}")
 
 
+def verify_train():
+    """Round-4 extension (VERDICT item 7): gate OPTIMIZER numerics on the
+    real chip the way kernel numerics are gated. Grads are computed once
+    on-chip from the release-shape policy loss, then three sequential
+    clip+AdamW+EMA updates run (a) via the shipped `fused_clip_adamw`,
+    (b) via the reference `optax.chain(clip_by_global_norm, adamw)`, and
+    (c) via a host float64 re-implementation on the identical grads.
+    (a) and (b) must agree to f32 round-off; both must track (c)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from v2a_tpu.models.policy import DiffusionPolicy, PolicyConfig
+    from v2a_tpu.train.train_state import (
+        OptimizerConfig, fused_clip_adamw,
+    )
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    pcfg = PolicyConfig(dtype="bfloat16" if on_tpu else "float32")
+    policy = DiffusionPolicy.create(pcfg)
+    params = policy.init(jax.random.PRNGKey(0))
+    ocfg = OptimizerConfig()
+
+    batch = 16
+    h, w = pcfg.image_size
+    rs = np.random.RandomState(0)
+    batch_data = {
+        "obs": {
+            k: jnp.asarray(rs.rand(batch, h, w, 3), jnp.float32)
+            for k in pcfg.obs_keys
+        },
+        "action": jnp.asarray(
+            rs.uniform(-1, 1, (batch, pcfg.horizon, pcfg.action_dim)),
+            jnp.float32,
+        ),
+    }
+    grads = jax.jit(jax.grad(policy.loss))(
+        params, jax.random.PRNGKey(1), batch_data
+    )
+    grads = jax.tree_util.tree_map(np.asarray, grads)
+    params_h = jax.tree_util.tree_map(np.asarray, params)
+
+    def run_chip(tx):
+        @jax.jit
+        def three_steps(params, grads):
+            opt_state = tx.init(params)
+            for _ in range(3):
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+            return params
+
+        out = three_steps(
+            jax.tree_util.tree_map(jnp.asarray, params_h),
+            jax.tree_util.tree_map(jnp.asarray, grads),
+        )
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    fused = run_chip(fused_clip_adamw(ocfg))
+    chain = run_chip(optax.chain(
+        optax.clip_by_global_norm(ocfg.grad_clip),
+        optax.adamw(ocfg.lr, b1=ocfg.b1, b2=ocfg.b2, eps=ocfg.eps,
+                    weight_decay=ocfg.weight_decay),
+    ))
+
+    # host float64 reference of clip + AdamW, same grads each step
+    g_leaves = jax.tree_util.tree_leaves(grads)
+    norm = np.sqrt(sum(
+        np.square(g.astype(np.float64)).sum() for g in g_leaves
+    ))
+    scale = min(1.0, ocfg.grad_clip / max(norm, 1e-30))
+
+    def host_ref(p0):
+        p = p0.astype(np.float64)
+        m = np.zeros_like(p)
+        v = np.zeros_like(p)
+        return p, m, v
+
+    ref = {}
+    flat_p, treedef = jax.tree_util.tree_flatten(params_h)
+    flat_g = treedef.flatten_up_to(grads)
+    outs = []
+    for p0, g0 in zip(flat_p, flat_g):
+        p, m, v = host_ref(p0)
+        g = g0.astype(np.float64) * scale
+        for k in range(1, 4):
+            m = ocfg.b1 * m + (1 - ocfg.b1) * g
+            v = ocfg.b2 * v + (1 - ocfg.b2) * g * g
+            mh = m / (1 - ocfg.b1 ** k)
+            vh = v / (1 - ocfg.b2 ** k)
+            upd = mh / (np.sqrt(vh) + ocfg.eps) + ocfg.weight_decay * p
+            p = p - ocfg.lr * upd
+        outs.append(p)
+    ref = treedef.unflatten(outs)
+
+    def tree_max_rel(a, b):
+        diffs = jax.tree_util.tree_map(
+            lambda x, y: float(
+                np.abs(np.asarray(x, np.float64) - np.asarray(y, np.float64)).max()
+            ),
+            a, b,
+        )
+        return max(jax.tree_util.tree_leaves(diffs))
+
+    # update magnitude per step is ~lr=1e-4; tolerances are relative to it
+    d_fused_chain = tree_max_rel(fused, chain)
+    d_fused_ref = tree_max_rel(fused, ref)
+    passed = d_fused_chain < 1e-6 and d_fused_ref < 3e-6
+    print(json.dumps({
+        "train_step_optimizer_gate": {
+            "fused_vs_optax_chain_max_abs": d_fused_chain,
+            "fused_vs_host_f64_max_abs": d_fused_ref,
+            "grad_global_norm": float(norm),
+            "pass": passed,
+        }
+    }, indent=2))
+    sys.exit(0 if passed else 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", default=None)
+    ap.add_argument("--train", action="store_true",
+                    help="run the train-step optimizer numerics gate only")
     args = ap.parse_args()
     if args.worker:
         worker(args.worker)
+        return
+    if args.train:
+        verify_train()
         return
 
     tmp = tempfile.mkdtemp(prefix="verify_onchip_")

@@ -87,3 +87,57 @@ def test_negative_zero_and_extremes():
 def test_rejects_f32():
     with pytest.raises(ValueError):
         max_pool_3x3s2(jnp.ones((1, 8, 8, 1), jnp.float32))
+
+
+def test_maskbwd_forward_matches_nn_max_pool():
+    from flax import linen as nn
+
+    from v2a_tpu.ops.pool import max_pool_3x3s2_maskbwd
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 16, 16, 8), jnp.bfloat16)
+    ref = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_3x3s2_maskbwd(x)), np.asarray(ref)
+    )
+
+
+def test_maskbwd_gradient_matches_when_tie_free():
+    """With all-distinct window values the all-ties backward equals the
+    select-and-scatter backward exactly."""
+    from flax import linen as nn
+
+    from v2a_tpu.ops.pool import max_pool_3x3s2_maskbwd
+
+    rs = np.random.RandomState(1)
+    # distinct float32 values -> no ties even after bf16... keep f32 here
+    x = jnp.asarray(
+        rs.permutation(16 * 16 * 4).reshape(1, 16, 16, 4), jnp.float32
+    )
+
+    def loss_ref(x):
+        y = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        return jnp.sum(y * jnp.arange(y.size).reshape(y.shape))
+
+    def loss_mask(x):
+        y = max_pool_3x3s2_maskbwd(x)
+        return jnp.sum(y * jnp.arange(y.size).reshape(y.shape))
+
+    g_ref = jax.grad(loss_ref)(x)
+    g_mask = jax.grad(loss_mask)(x)
+    np.testing.assert_allclose(np.asarray(g_mask), np.asarray(g_ref))
+
+
+def test_maskbwd_tie_routing_deviation_is_all_ties():
+    """Pin the DOCUMENTED deviation: on a constant plateau the mask
+    backward routes each window's gradient to every covered position."""
+    from v2a_tpu.ops.pool import max_pool_3x3s2_maskbwd
+
+    x = jnp.zeros((1, 4, 4, 1), jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(max_pool_3x3s2_maskbwd(x)))(x)
+    # every input position is covered by >= 1 window and ties everywhere:
+    # all entries receive gradient (select-and-scatter would pick one per
+    # window)
+    assert (np.asarray(g) > 0).all()
+    # total gradient = sum over windows of (#tied positions x 1) > #windows
+    assert float(np.asarray(g).sum()) > 4.0

@@ -92,6 +92,14 @@ class ResNet18Conv(nn.Module):
             from v2a_tpu.ops.pool import max_pool_3x3s2
 
             x = max_pool_3x3s2(x)
+        elif os.environ.get("V2A_POOL_MASK_BWD") == "1":
+            # hardware-path forward + all-ties compare backward
+            # (ops/pool.py): replaces the 2 x 0.28 ms select-and-scatter.
+            # DEVIATION: gradient flows to every tied max, not the first —
+            # experiment flag only (see pool.py)
+            from v2a_tpu.ops.pool import max_pool_3x3s2_maskbwd
+
+            x = max_pool_3x3s2_maskbwd(x)
         else:
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, (n_blocks, feats) in enumerate(

@@ -128,3 +128,80 @@ def _mp_bwd(res, dy):
 
 
 max_pool_3x3s2.defvjp(_mp_fwd, _mp_bwd)
+
+
+# -- mask-backward variant (V2A_POOL_MASK_BWD) -------------------------------
+#
+# Round-4 experiment at VERDICT's suggestion: keep the bf16 `reduce_window`
+# FORWARD (the hardware pooling path the int32-packed forward above misses)
+# and replace only the backward — select-and-scatter costs 2 x 0.28 ms/step
+# at batch 64 — with an elementwise candidate-compare against the pooled
+# values saved from the forward.
+#
+# DELIBERATE SEMANTICS DEVIATION: a window's gradient flows to EVERY input
+# position equal to the window max, not only the FIRST one (XLA's
+# select-and-scatter / torch tie rule). Post-ReLU feature maps tie at 0.0
+# often, so tied routing is a real (if tiny) gradient difference — this
+# variant therefore ships OFF and is gated by V2A_POOL_MASK_BWD=1.
+
+
+def _pool3x3s2_value(x: jax.Array) -> jax.Array:
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if x.dtype in (jnp.float32,) else jnp.asarray(
+            -jnp.inf, x.dtype
+        ),
+        jax.lax.max,
+        (1, 3, 3, 1),
+        (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+@jax.custom_vjp
+def max_pool_3x3s2_maskbwd(x: jax.Array) -> jax.Array:
+    """3x3 stride-2 pad-1 max pool, NHWC; all-ties backward (see above)."""
+    return _pool3x3s2_value(x)
+
+
+def _mb_fwd(x):
+    pooled = _pool3x3s2_value(x)
+    return pooled, (x, pooled)
+
+
+def _mb_bwd(res, dy):
+    x, pooled = res
+    b, h, w, c = x.shape
+
+    def up(v, fill):
+        u = _repeat2(_repeat2(v, 1), 2)[:, :h, :, :][:, :, :w, :]
+        return jnp.pad(
+            u, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=fill
+        )
+
+    u_dy = up(dy.astype(jnp.float32), 0.0)
+    # pad windows hold -inf: a real activation can never equal them, so the
+    # out-of-range candidates contribute exactly 0
+    u_p = up(pooled.astype(jnp.float32), -np.inf)
+
+    i = jnp.arange(h)
+    j = jnp.arange(w)
+    odd_i = (i % 2 == 1)[None, :, None, None]
+    odd_j = (j % 2 == 1)[None, None, :, None]
+    xf = x.astype(jnp.float32)
+
+    dx = jnp.zeros(x.shape, jnp.float32)
+    for si, mi in ((1, None), (-1, odd_i)):
+        for sj, mj in ((1, None), (-1, odd_j)):
+            g = u_dy[:, 1 + si : 1 + si + h, 1 + sj : 1 + sj + w, :]
+            p = u_p[:, 1 + si : 1 + si + h, 1 + sj : 1 + sj + w, :]
+            hit = xf == p
+            if mi is not None:
+                hit = hit & mi
+            if mj is not None:
+                hit = hit & mj
+            dx = dx + jnp.where(hit, g, 0.0)
+    return (dx.astype(x.dtype),)
+
+
+max_pool_3x3s2_maskbwd.defvjp(_mb_fwd, _mb_bwd)
