@@ -216,6 +216,127 @@ def affconv_bench():
                       flush=True)
 
 
+def mega_bench(levels=None):
+    """Fill/drain accounting for the mega kernels (round-3 VERDICT item 2a).
+
+    For each mega-kernel configuration of the headline net (per level:
+    down-path in_conv, out_conv with residual+emb+stats, up-path in_conv
+    with the K=2C skip concat), measure with the chained-slope harness:
+
+      (1) the kernel at the shipped band height AND a tile_h sweep
+          (divisor multiples/fractions of the picked band), and
+      (2) the kernel's OWN dot speed-of-light: a standalone resident-weight
+          chained dot at the exact per-tap shape (M=tp*W, K=C, N=D) — all
+          dots in these configs share one shape since C==D — scaled to the
+          kernel's analytic dot count 2*F*B*h*w*d*c*(9*parts + 3).
+
+    gap = kernel / dot-SoL isolates everything that is NOT MXU dot issue
+    (fill/drain, affine/SiLU VPU work, window DMA not hidden, one-hot row
+    selects). A tile_h that closes a >10% gap re-picks the band for that
+    level (V2A_MEGA_TILE_<level> override / picker change).
+    """
+    from v2a_tpu.ops import resblock_kernels as rk
+
+    B, F = BATCH, FRAMES
+    levels = levels or [("L0", 128, 128), ("L1", 64, 256), ("L2", 32, 384)]
+    dot_rate_cache = {}
+
+    def dot_rate(m, k, n):
+        key = (m, k, n)
+        if key in dot_rate_cache:
+            return dot_rate_cache[key]
+        x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+        w1 = jax.random.normal(
+            jax.random.PRNGKey(1), (k, n), jnp.bfloat16) * 0.05
+        w2 = jax.random.normal(
+            jax.random.PRNGKey(2), (n, k), jnp.bfloat16) * 0.05
+
+        def f(y, wgt):
+            wa, wb = wgt
+            z = jax.lax.dot_general(
+                y, wa, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            return jax.lax.dot_general(
+                z, wb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+
+        # per-link flops 4mkn is tiny; the chain must be long enough that
+        # the LONG-SHORT difference (~0.75*chain links) dwarfs the multi-ms
+        # tunnel drift (CLAUDE.md): target ~2 TFLOP of difference
+        chain = max(4000, int(2.7e12 / (4 * m * k * n)) // 4 * 4)
+        dt = _time_chained(f, x, (w1, w2), chain=chain, iters=8)
+        rate = (4 * m * k * n) / dt
+        dot_rate_cache[key] = rate
+        print(f"    dot ({m:6d},{k:4d})x({k:4d},{n:4d})  "
+              f"{rate / 1e12:6.1f} TF/s", flush=True)
+        return rate
+
+    for name, h, c in levels:
+        w = h
+        hp, wp = rk.padded_hw(h, w)
+        for variant, n_parts, with_out in (
+            ("in_dn", 1, False), ("out", 1, True), ("in_up", 2, False),
+        ):
+            d = c
+            cins = [c] * n_parts
+            tp0 = rk.conv_tconv_band_rows(
+                h, w, wp, cins, d, F, has_res=with_out)
+            if not tp0:
+                print(f"mega {name}.{variant}: not viable", flush=True)
+                continue
+            cand = sorted({
+                t for t in (
+                    max(tp0 // 4, 1), max(tp0 // 2, 1), tp0, tp0 * 2,
+                    tp0 * 4,
+                ) if t >= 1 and h % t == 0
+            })
+            flops = 2 * F * B * h * w * d * c * (9 * n_parts + 3)
+            key = jax.random.PRNGKey(3)
+            kernel = jax.random.normal(
+                key, (3, 3, c, d), jnp.bfloat16) * 0.02
+            aff_a = jnp.ones((B * F, c), jnp.float32)
+            aff_b = jnp.zeros((B * F, c), jnp.float32)
+            kbias = jnp.zeros((d,), jnp.float32)
+            tkernel = jax.random.normal(
+                jax.random.PRNGKey(4), (3, d, d), jnp.bfloat16) * 0.02
+            tbias = jnp.zeros((d,), jnp.float32)
+            emb = (jax.random.normal(jax.random.PRNGKey(5), (B, d),
+                                     jnp.float32) * 0.1 if with_out else None)
+            x0 = jax.random.normal(
+                jax.random.PRNGKey(6), (B, F, hp, wp, c), jnp.bfloat16)
+
+            for tp in cand:
+                def run(y, wgt):
+                    kern, tk = wgt
+                    parts = [(y, kern, aff_a, aff_b)] * n_parts
+                    out = rk.fused_conv_tconv_padded(
+                        parts, kbias, tk, tbias, (h, w), emb=emb,
+                        residual=y if with_out else None,
+                        silu=True, want_stats=with_out, tile_h=tp,
+                    )
+                    y2 = out[0] if with_out else out
+                    # keep the chain bounded (random weights would blow up)
+                    return (y2 * 0.5).astype(jnp.bfloat16)
+
+                try:
+                    dt = _time_chained(run, x0, (kernel, tkernel),
+                                       chain=20, iters=5)
+                except Exception as e:  # Mosaic OOM etc.
+                    print(f"mega {name}.{variant} tp={tp:3d}  FAILED: "
+                          f"{str(e)[:110]}", flush=True)
+                    continue
+                rate = dot_rate(tp * w, c, d)
+                sol = flops / rate
+                mark = " <-- shipped" if tp == tp0 else ""
+                print(
+                    f"mega {name}.{variant} tp={tp:3d}  {dt * 1e3:7.3f} ms "
+                    f"{flops / dt / 1e12:6.1f} TF/s  dotSoL {sol * 1e3:7.3f}"
+                    f" ms  gap {dt / sol:5.2f}x{mark}", flush=True,
+                )
+
+
 def _winograd_conv(x, wgt):
     """Winograd F(2x2, 3x3) 3x3 SAME conv, all-XLA: 16 strided input slices
     -> separable B^T d B combos -> 16 batched (M, C) x (C, D) gemms -> A^T M A
@@ -823,6 +944,15 @@ def main():
             continue
         if name == "affconvbench":
             affconv_bench()
+            continue
+        if name == "megabench":
+            mega_bench()
+            continue
+        if name.startswith("megabench:"):
+            # e.g. megabench:L1 — one level only
+            lv = {"L0": ("L0", 128, 128), "L1": ("L1", 64, 256),
+                  "L2": ("L2", 32, 384)}[name.split(":")[1]]
+            mega_bench(levels=[lv])
             continue
         if name == "winobench":
             winograd_bench()

@@ -108,6 +108,48 @@ def test_bf16_grad_storage_trains_like_f32(monkeypatch):
     )
 
 
+def test_bf16_moment_storage_trains_like_f32(monkeypatch):
+    """V2A_MOMENT_DTYPE=bfloat16 stores the Adam moments (m, v) in bf16 —
+    halving the dominant HBM traffic of the optimizer pass (4 of the 9
+    parameter-sized passes, PERF.md round-4 table) — while keeping every
+    update arithmetic op in f32. A short quadratic run must track the f32
+    trajectory closely, and the state leaves must actually be bf16."""
+    import v2a_tpu.train.train_state as ts
+
+    def loss_fn(params, rng, batch):
+        pred = batch @ params["w"] + params["b"]
+        return jnp.mean((pred - 1.0) ** 2)
+
+    batch = jax.random.normal(jax.random.PRNGKey(0), (32, 8))
+    params = {"w": jnp.zeros((8,)), "b": jnp.zeros(())}
+
+    trajectories = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        monkeypatch.setattr(ts, "MOMENT_DTYPE", jnp.dtype(dtype))
+        tx = ts.make_optimizer(OptimizerConfig(lr=1e-2))
+        state = TrainState.create(params, tx)
+        step = jax.jit(make_train_step(loss_fn, tx, EMAConfig()))
+        losses = []
+        for i in range(30):
+            state, loss, _ = step(state, jax.random.PRNGKey(i), batch)
+            losses.append(float(loss))
+        trajectories[np.dtype(dtype).name] = (losses, state)
+
+    l32, s32 = trajectories["float32"]
+    l16, s16 = trajectories["bfloat16"]
+    adam16 = s16.opt_state
+    assert all(
+        l.dtype == jnp.bfloat16
+        for l in jax.tree_util.tree_leaves((adam16.mu, adam16.nu))
+    )
+    assert l16[-1] < l16[0] * 0.5  # it actually trains
+    np.testing.assert_allclose(l16, l32, rtol=2e-2)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=0.02, atol=1e-3),
+        s16.params, s32.params,
+    )
+
+
 def test_accumulate_path_uses_storage_dtype(monkeypatch):
     import v2a_tpu.train.train_state as ts
 
