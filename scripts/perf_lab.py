@@ -104,7 +104,10 @@ def _time_chained(fn, x, wgt, chain=20, iters=5):
             def body(y, _):
                 return fn(y, wgt), None
             y, _ = jax.lax.scan(body, x, None, length=length)
-            return jnp.sum(y.astype(jnp.float32))
+            return sum(
+                jnp.sum(l.astype(jnp.float32))
+                for l in jax.tree_util.tree_leaves(y)
+            )
         return run
 
     runs = [make(n) for n in lens]
@@ -216,6 +219,77 @@ def affconv_bench():
                       flush=True)
 
 
+_DOT_RATE_CACHE = {}
+
+
+def _dot_rate(m, k, n, streams=4):
+    """Throughput ceiling of an (M,K)x(K,N) dot: `streams` INDEPENDENT
+    serial chains advance together in one scan body, so MXU pipeline
+    latency amortizes across them (a single serial chain measures LATENCY —
+    13 TF/s at M=128 where the issue ceiling is far higher — because each
+    link waits for the previous result). Independent streams match the
+    kernel's situation: its per-tap dots are independent and only meet at
+    the f32 accumulate."""
+    key = (m, k, n)
+    if key in _DOT_RATE_CACHE:
+        return _DOT_RATE_CACHE[key]
+    ys = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (m, k), jnp.bfloat16)
+        for i in range(streams)
+    )
+    w1 = jax.random.normal(jax.random.PRNGKey(91), (k, n), jnp.bfloat16) * 0.05
+    w2 = jax.random.normal(jax.random.PRNGKey(92), (n, k), jnp.bfloat16) * 0.05
+
+    def one(y, wa, wb):
+        # bf16 MXU-native outputs: an f32 accumulate + astype would insert
+        # per-link VPU converts that serialize with the dots and cap the
+        # measured rate ~40% below the true issue ceiling (round-4 finding)
+        z = jax.lax.dot_general(
+            y, wa, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.bfloat16,
+        )
+        return jax.lax.dot_general(
+            z, wb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.bfloat16,
+        )
+
+    def f(ys, wgt):
+        wa, wb = wgt
+        return tuple(one(y, wa, wb) for y in ys)
+
+    # per-link flops streams*4mkn is tiny; the chain must be long enough
+    # that the LONG-SHORT difference (~0.75*chain links) dwarfs the
+    # multi-ms tunnel drift (CLAUDE.md): target ~2 TFLOP of difference
+    chain = max(2000, int(2.7e12 / (streams * 4 * m * k * n)) // 4 * 4)
+    dt = _time_chained(f, ys, (w1, w2), chain=chain, iters=8)
+    rate = (streams * 4 * m * k * n) / dt
+    _DOT_RATE_CACHE[key] = rate
+    print(f"    dot ({m:6d},{k:4d})x({k:4d},{n:4d}) x{streams}  "
+          f"{rate / 1e12:6.1f} TF/s", flush=True)
+    return rate
+
+
+def dot_ceiling_bench():
+    """Independent-stream dot throughput at every per-tap shape the mega
+    kernels issue (M = tp*W at the shipped band heights, K = C, N = D) —
+    the honest per-shape speed-of-light for the fill/drain accounting.
+    Also sweeps streams at the L0 shape to show the latency/throughput
+    split."""
+    for s in (1, 2, 4, 8):
+        _DOT_RATE_CACHE.clear()
+        _dot_rate(512, 128, 128, streams=s)
+    _DOT_RATE_CACHE.clear()
+    for m, k, n in (
+        (512, 128, 128),   # L0 per-tap dot at tp=4
+        (1024, 128, 128),  # L0 at tp=8
+        (256, 256, 256),   # L1 per-tap dot at tp=4
+        (512, 256, 256),   # L1 at tp=8
+        (128, 384, 384),   # L2 shape (two-kernel path, tp=4 @ w=32)
+        (896, 128, 128),   # L0 frame-folded (F*tp*W/8) reference point
+    ):
+        _dot_rate(m, k, n)
+
+
 def mega_bench(levels=None):
     """Fill/drain accounting for the mega kernels (round-3 VERDICT item 2a).
 
@@ -239,39 +313,7 @@ def mega_bench(levels=None):
 
     B, F = BATCH, FRAMES
     levels = levels or [("L0", 128, 128), ("L1", 64, 256), ("L2", 32, 384)]
-    dot_rate_cache = {}
-
-    def dot_rate(m, k, n):
-        key = (m, k, n)
-        if key in dot_rate_cache:
-            return dot_rate_cache[key]
-        x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
-        w1 = jax.random.normal(
-            jax.random.PRNGKey(1), (k, n), jnp.bfloat16) * 0.05
-        w2 = jax.random.normal(
-            jax.random.PRNGKey(2), (n, k), jnp.bfloat16) * 0.05
-
-        def f(y, wgt):
-            wa, wb = wgt
-            z = jax.lax.dot_general(
-                y, wa, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-            return jax.lax.dot_general(
-                z, wb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-
-        # per-link flops 4mkn is tiny; the chain must be long enough that
-        # the LONG-SHORT difference (~0.75*chain links) dwarfs the multi-ms
-        # tunnel drift (CLAUDE.md): target ~2 TFLOP of difference
-        chain = max(4000, int(2.7e12 / (4 * m * k * n)) // 4 * 4)
-        dt = _time_chained(f, x, (w1, w2), chain=chain, iters=8)
-        rate = (4 * m * k * n) / dt
-        dot_rate_cache[key] = rate
-        print(f"    dot ({m:6d},{k:4d})x({k:4d},{n:4d})  "
-              f"{rate / 1e12:6.1f} TF/s", flush=True)
-        return rate
+    dot_rate = _dot_rate
 
     for name, h, c in levels:
         w = h
@@ -944,6 +986,19 @@ def main():
             continue
         if name == "affconvbench":
             affconv_bench()
+            continue
+        if name == "dotbench":
+            dot_ceiling_bench()
+            continue
+        if name.startswith("trace_chain:"):
+            # finer top-k, e.g. trace_chain:120 to split the fusion bucket
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = defaults[0]
+            video_unet.PERF_SKIP1X1_DOT = defaults[1]
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = defaults[2]
+            trace_chain(topk=int(name.split(":")[1]))
+            video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = 0
+            video_unet.PERF_SKIP1X1_DOT = False
+            video_unet.PERF_PALLAS_SPATIAL2_MAX_S = 512
             continue
         if name == "megabench":
             mega_bench()
