@@ -150,6 +150,19 @@ def test_bf16_moment_storage_trains_like_f32(monkeypatch):
     )
 
 
+def test_moment_dtype_config_field():
+    """OptimizerConfig.moment_dtype is the first-class API for the moment
+    storage dtype (V2A_MOMENT_DTYPE env is the fallback)."""
+    cfg = OptimizerConfig(moment_dtype="bfloat16")
+    tx = fused_clip_adamw(cfg)
+    params = {"w": jnp.ones((8,))}
+    state = tx.init(params)
+    assert state.mu["w"].dtype == jnp.bfloat16
+    updates, state = tx.update({"w": jnp.full((8,), 0.1)}, state, params)
+    assert updates["w"].dtype == jnp.float32  # applied in param dtype
+    assert state.nu["w"].dtype == jnp.bfloat16
+
+
 def test_accumulate_path_uses_storage_dtype(monkeypatch):
     import v2a_tpu.train.train_state as ts
 
