@@ -36,7 +36,8 @@ from v2a_tpu.train.train_state import (
 FRAMES, TOKENS = 7, 16
 
 
-def build_step(use_checkpoint: bool, batch: int, hw: int, mc: int, chain: int):
+def build_step(use_checkpoint: bool, batch: int, hw: int, mc: int, chain: int,
+               remat_policy: str = "blocks"):
     full = mc >= 128
     unet = VideoUNet(
         in_channels=6, model_channels=mc, out_channels=3,
@@ -46,7 +47,17 @@ def build_step(use_checkpoint: bool, batch: int, hw: int, mc: int, chain: int):
         num_head_channels=32,
         task_token_dim=512, dtype=jnp.bfloat16 if full else jnp.float32,
         fused=False, use_checkpoint=use_checkpoint,
+        remat_policy=remat_policy,
     )
+    apply_fn = lambda p, x, tt, e: unet.apply(p, x, tt, e)  # noqa: E731
+    if use_checkpoint and remat_policy == "levels":
+        # mirror VideoModelTrainer: save ONLY the level-transition tags;
+        # each level (incl. its skip activations) recomputes in backward
+        apply_fn = jax.checkpoint(
+            apply_fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "v2a_level"),
+        )
     diffusion = GaussianDiffusion(
         schedule=DiffusionSchedule.create(100, "cosine"), objective="pred_v",
     )
@@ -66,7 +77,7 @@ def build_step(use_checkpoint: bool, batch: int, hw: int, mc: int, chain: int):
     def loss_fn(p, rng, batch_data):
         video, x_cond, task_embed, t = batch_data
         return diffusion.p_losses(
-            lambda x, tt, e: unet.apply(p, x, tt, e),
+            lambda x, tt, e: apply_fn(p, x, tt, e),
             rng, video, x_cond, task_embed, t=t,
         )
 
@@ -97,17 +108,21 @@ def main():
     hw, mc, chain = (128, 128, 6) if on_tpu else (32, 32, 2)
     batches = [int(b) for b in
                os.environ.get("V2A_VTRAIN_BATCHES", "4,8,16").split(",")]
-    configs = [(False, b) for b in batches] + [(True, b) for b in batches]
+    policies = os.environ.get(
+        "V2A_VTRAIN_POLICIES", "off,blocks,levels").split(",")
+    configs = [(pol, b) for pol in policies for b in batches]
     if not on_tpu:
-        configs = [(False, 2), (True, 2)]
+        configs = [("off", 2), ("blocks", 2), ("levels", 2)]
 
-    for use_ckpt, batch in configs:
+    for policy, batch in configs:
+        use_ckpt = policy != "off"
         label = {"metric": "video_train_steps_per_sec",
-                 "use_checkpoint": use_ckpt, "batch": batch,
-                 "unit": "steps/s/chip"}
+                 "use_checkpoint": use_ckpt, "remat_policy": policy,
+                 "batch": batch, "unit": "steps/s/chip"}
         try:
             chainf, state, batch_data = build_step(
-                use_ckpt, batch, hw, mc, chain)
+                use_ckpt, batch, hw, mc, chain,
+                remat_policy=policy if use_ckpt else "blocks")
             rng = jax.random.PRNGKey(1)
             state, loss = chainf(state, rng, batch_data)
             np.asarray(loss)  # compile + warm

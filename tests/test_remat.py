@@ -76,6 +76,47 @@ def test_video_unet_remat_grads_match():
     _assert_remat_in_grad_jaxpr(loss(ckpt), params)
 
 
+def test_video_unet_level_remat_grads_match():
+    """remat_policy="levels": the module tags level transitions with
+    `checkpoint_name("v2a_level")`; wrapped in a
+    save_only_these_names("v2a_level") jax.checkpoint (as the trainer
+    does), outputs and gradients match the plain model exactly/closely."""
+    kw = dict(
+        in_channels=6, model_channels=32, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=16, task_token_dim=16, fused=False,
+    )
+    base = VideoUNet(**kw)
+    lvl = VideoUNet(**kw, use_checkpoint=True, remat_policy="levels")
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(2, 3, 8, 8, 6), jnp.float32)
+    t = jnp.asarray([1, 7])
+    tok = jnp.asarray(rs.randn(2, 5, 16), jnp.float32)
+
+    params = base.init(jax.random.PRNGKey(0), x, t, tok)
+    params_lvl = lvl.init(jax.random.PRNGKey(0), x, t, tok)
+    assert _tree_max_diff(params, params_lvl) == 0.0
+
+    wrapped = jax.checkpoint(
+        lambda p, xx, tt, ee: lvl.apply(p, xx, tt, ee),
+        policy=jax.checkpoint_policies.save_only_these_names("v2a_level"),
+    )
+    out_diff = float(
+        jnp.abs(base.apply(params, x, t, tok) - wrapped(params, x, t, tok))
+        .max()
+    )
+    # policy-based checkpointing regroups XLA fusions, so the forward is
+    # only float-close (block remat, by contrast, is bitwise — see above)
+    assert out_diff < 1e-5
+
+    g0 = jax.grad(lambda p: jnp.sum(base.apply(p, x, t, tok) ** 2))(params)
+    loss_lvl = lambda p: jnp.sum(wrapped(p, x, t, tok) ** 2)  # noqa: E731
+    g1 = jax.grad(loss_lvl)(params)
+    _assert_grads_close(g0, g1)
+    jaxpr = str(jax.make_jaxpr(jax.grad(loss_lvl))(params))
+    assert "v2a_level" in jaxpr and ("remat" in jaxpr or "checkpoint" in jaxpr)
+
+
 def test_image_unet_remat_grads_match():
     kw = dict(
         in_channels=3, model_channels=8, out_channels=3, num_res_blocks=1,
@@ -204,18 +245,26 @@ def test_video_trainer_use_checkpoint_step_matches(tmp_path):
     )
 
     params_after = []
-    for use_ckpt in (False, True):
+    for use_ckpt, policy in (
+        (False, "blocks"), (True, "blocks"), (True, "levels"),
+    ):
         model = VideoPredModel(cfg)
         ds = VideoClipDataset(h5path, ["push the button"], frames=2, stride=4)
         tr = VideoModelTrainer(
             model, ds,
             VideoTrainerConfig(batch_size=2, n_train_steps=1,
                                save_freq=10**9, log_freq=10**9,
-                               use_checkpoint=use_ckpt),
-            workdir=str(tmp_path / f"w{use_ckpt}"), seed=0,
+                               use_checkpoint=use_ckpt,
+                               remat_policy=policy),
+            workdir=str(tmp_path / f"w{use_ckpt}-{policy}"), seed=0,
         )
         assert tr.train_unet.use_checkpoint is use_ckpt
         assert tr.train_unet.fused is False
+        if use_ckpt and policy == "levels":
+            assert tr.train_unet.remat_policy == "levels"
+            # the level wrapper is a jax.checkpoint-wrapped callable
+            # (functools.wraps sets __wrapped__), not the bare lambda
+            assert hasattr(tr._train_apply, "__wrapped__")
         tr.train(1)
         params_after.append(tr.state.params)
         for leaf in jax.tree_util.tree_leaves(tr.state.params):
@@ -224,3 +273,4 @@ def test_video_trainer_use_checkpoint_step_matches(tmp_path):
     # same-scale update (first Adam step magnitude = lr = 1e-4); exact
     # equality is not stable post-Adam — see docstring
     assert _tree_max_diff(params_after[0], params_after[1]) < 2e-4
+    assert _tree_max_diff(params_after[0], params_after[2]) < 2e-4

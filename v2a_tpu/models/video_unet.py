@@ -1521,6 +1521,20 @@ class VideoUNet(nn.Module):
     # meaningful for training, so it applies to the non-fused path (the
     # fused Pallas kernels are inference-only, see VideoPredModel._model_fn).
     use_checkpoint: bool = False
+    # Remat granularity when `use_checkpoint`:
+    #   "blocks" — per-ResBlock/attention jax.remat (the reference's
+    #       granularity): saves every block boundary, recomputes interiors.
+    #   "levels" — no per-block remat; instead tag only the resolution-
+    #       level transitions (entry conv, downsample/upsample outputs,
+    #       middle output) with `checkpoint_name("v2a_level")`. The TRAINER
+    #       wraps the whole apply in `jax.checkpoint(policy=
+    #       save_only_these_names("v2a_level"))` so only ~10 tensors are
+    #       saved and each level (including its skip activations) is
+    #       recomputed from its entry boundary during backward — a much
+    #       deeper memory lever than block granularity (PERF.md round 4:
+    #       block remat doubles the max video-train batch; level remat is
+    #       for the batches block remat still cannot hold).
+    remat_policy: str = "blocks"
 
     @nn.compact
     def __call__(
@@ -1567,13 +1581,24 @@ class VideoUNet(nn.Module):
         # transform accounting; the Python-bool args (`deterministic`,
         # `want_stats`) must be static under jax.remat, so remat'd blocks
         # are invoked positionally below.
-        remat = self.use_checkpoint and not fused
+        remat = (
+            self.use_checkpoint and not fused
+            and self.remat_policy == "blocks"
+        )
         _Res = nn.remat(ResBlock3D, static_argnums=(4,)) if remat else ResBlock3D
         _Attn = (
             nn.remat(SpatialAttentionBlock, static_argnums=(3,))
             if remat
             else SpatialAttentionBlock
         )
+        # level-scoped tags (see remat_policy): identity unless the trainer
+        # wraps the apply in a save_only_these_names("v2a_level") checkpoint
+        if self.use_checkpoint and not fused and self.remat_policy == "levels":
+            from jax.ad_checkpoint import checkpoint_name
+
+            _tag = lambda a: checkpoint_name(a, "v2a_level")  # noqa: E731
+        else:
+            _tag = lambda a: a  # noqa: E731
         hs = []
         st = None
         hh, ww = x.shape[2], x.shape[3]
@@ -1595,6 +1620,7 @@ class VideoUNet(nn.Module):
             # enter the padded-stream layout for the banded levels: pads
             # once here, the per-conv pad passes inside the level vanish
             h = pad_stream(h)
+        h = _tag(h)
         hs.append((h, st))
         ds = 1
         block_idx = 0
@@ -1633,6 +1659,7 @@ class VideoUNet(nn.Module):
                     h = pad_stream(h)
                 elif not next_padded and isinstance(h, PaddedStream):
                     h = unpad_stream(h)
+                h = _tag(h)
                 hs.append((h, st))
                 ds *= 2
 
@@ -1658,6 +1685,7 @@ class VideoUNet(nn.Module):
         )(h, emb, st, deterministic)
         if fused:
             h, st = h
+        h = _tag(h)
 
         # -- output blocks
         block_idx = 0
@@ -1715,6 +1743,7 @@ class VideoUNet(nn.Module):
                     )
                     if fused:
                         h, st = h
+                    h = _tag(h)
                     hh, ww = hh * 2, ww * 2
                     ds //= 2
                 block_idx += 1

@@ -54,6 +54,10 @@ class VideoTrainerConfig:
     # lets the 7-frame 128² video U-Net train at real batch sizes in
     # 16 GB HBM, at the cost of an extra forward's FLOPs.
     use_checkpoint: bool = False
+    # "blocks" (reference granularity) or "levels" (save only resolution-
+    # level boundaries; each level incl. its skips recomputes from its
+    # entry tag in backward — fits batches block remat cannot hold)
+    remat_policy: str = "blocks"
 
 
 class VideoClipDataset:
@@ -149,13 +153,30 @@ class VideoModelTrainer:
         if getattr(unet, "fused", False):
             unet = unet.clone(fused=False)
         if self.cfg.use_checkpoint:
-            unet = unet.clone(use_checkpoint=True)
+            unet = unet.clone(
+                use_checkpoint=True, remat_policy=self.cfg.remat_policy
+            )
         self.train_unet = unet  # introspectable (tests/test_remat.py)
+
+        apply_fn = lambda params, x, tt, e: unet.apply(  # noqa: E731
+            params, x, tt, e
+        )
+        if self.cfg.use_checkpoint and self.cfg.remat_policy == "levels":
+            # the tags inside __call__ only matter under this wrapper: save
+            # ONLY the level-transition tensors; everything else (block
+            # interiors AND the skip activations) recomputes per level
+            apply_fn = jax.checkpoint(
+                apply_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "v2a_level"
+                ),
+            )
+        self._train_apply = apply_fn  # introspectable (tests/test_remat.py)
 
         def train_step(state, rng, video, x_cond, task_embed, t, weights):
             def loss_fn(params):
                 return diffusion.p_losses(
-                    lambda x, tt, e: unet.apply(params, x, tt, e),
+                    lambda x, tt, e: apply_fn(params, x, tt, e),
                     rng, video, x_cond, task_embed,
                     t=t, sample_weights=weights, return_per_sample=True,
                 )
