@@ -74,6 +74,50 @@ def test_video_clip_dataset_shapes(clip_h5):
 
 
 @pytest.mark.slow
+def test_video_trainer_dp_tp_mesh_matches_single_device(clip_h5, tmp_path):
+    """VideoModelTrainer(mesh=...) is a NUMERICS-preserving dp x tp shard:
+    batches split over 'dp' (XLA all-reduces grads on ICI), wide param /
+    moment dims shard over 'tp' (shard_train_state leaf rule), and three
+    Adam steps land on the same parameters as the single-device trainer
+    (same seed -> same batches, same keys; threefry is partitionable so
+    dp-sharded noise draws match single-device bit-for-bit)."""
+    import jax
+
+    from v2a_tpu.parallel.mesh import make_mesh
+
+    cfg = VideoModelConfig(
+        image_size=(16, 16), sample_per_seq=4, timesteps=8,
+        sampling_timesteps=4, model_channels=64, channel_mult=(1, 2),
+        num_res_blocks=1, attention_resolutions=(8,), text_dim=64,
+    )
+    params_after = []
+    for mesh in (None, make_mesh(("dp", "tp"), (4, 2))):
+        model = VideoPredModel(cfg)
+        ds = VideoClipDataset(clip_h5, ["task a", "task b"], frames=3,
+                              stride=2)
+        tr = VideoModelTrainer(
+            model, ds,
+            VideoTrainerConfig(batch_size=4, n_train_steps=3,
+                               save_freq=10**9, log_freq=10**9),
+            workdir=str(tmp_path / f"mesh{mesh is not None}"), seed=0,
+            mesh=mesh,
+        )
+        tr.train(3)
+        if mesh is not None:
+            specs = [
+                leaf.sharding.spec
+                for leaf in jax.tree_util.tree_leaves(tr.state.params)
+            ]
+            assert any("tp" in str(s) for s in specs), specs
+        params_after.append(jax.device_get(tr.state.params))
+
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), *params_after
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 2e-4
+
+
+@pytest.mark.slow
 def test_video_trainer_reduces_loss(clip_h5, tmp_path):
     cfg = VideoModelConfig(
         image_size=(16, 16), sample_per_seq=4, timesteps=8,

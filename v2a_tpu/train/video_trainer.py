@@ -139,9 +139,13 @@ class VideoModelTrainer:
         # only the U-Net trains; CLIP text tower stays frozen
         self.state = TrainState.create(model.params["unet"], self.tx)
         if mesh is not None:
-            from v2a_tpu.parallel.sharding import replicate
+            # dp: batches shard over the 'dp' axes (see train()); XLA
+            # compiles the gradient all-reduce onto ICI. tp (optional
+            # 'tp' axis): wide trailing param/moment dims shard, same
+            # leaf rule as the policy trainer (shard_train_state).
+            from v2a_tpu.parallel.sharding import shard_train_state
 
-            self.state = replicate(self.state, mesh)
+            self.state = shard_train_state(self.state, mesh)
         ema_cfg = ema_config or EMAConfig()
 
         diffusion = model.diffusion
@@ -223,9 +227,14 @@ class VideoModelTrainer:
             )
             x_cond_n = (jnp.asarray(x_cond) * 2.0 - 1.0)[:, None]
             self.rng, sub = jax.random.split(self.rng)
+            batch = (jnp.asarray(video), x_cond_n, task_embed,
+                     jnp.asarray(t), jnp.asarray(weights))
+            if self.mesh is not None:
+                from v2a_tpu.parallel.sharding import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
             self.state, loss, per_sample = self._train_step(
-                self.state, sub, jnp.asarray(video), x_cond_n, task_embed,
-                jnp.asarray(t), jnp.asarray(weights),
+                self.state, sub, *batch,
             )
             self.sampler.update_with_losses(t, np.asarray(per_sample))
 
