@@ -123,9 +123,12 @@ def test_min_snr_loss_weights():
 def test_schedule_is_pytree():
     import jax
 
-    sched = DiffusionSchedule.create(10, "linear")
+    # T=100 keeps the rescaled linear betas < 1 (at T=10 beta_end=2.0 and
+    # the schedule is NaN by design — reference parity with the unclipped
+    # goal_diffusion.py:308-315 linear schedule)
+    sched = DiffusionSchedule.create(100, "linear")
     leaves = jax.tree_util.tree_leaves(sched)
     assert len(leaves) == 12
     # static field survives tree_map
     mapped = jax.tree_util.tree_map(lambda x: x * 1.0, sched)
-    assert mapped.num_timesteps == 10
+    assert mapped.num_timesteps == 100
