@@ -184,3 +184,77 @@ def test_golden_vs_torchvision():
         want = y.mean(dim=(2, 3)).numpy()
     got = np.asarray(inception_forward(params, x01))
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_bn_fold_torch_golden_end_to_end():
+    """End-to-end BN-folding golden against live torch (VERDICT round-4
+    Missing #3): a small torch BN-conv net — Conv2d(bias=False) ->
+    BatchNorm2d(eps=BN_EPS) -> ReLU stages with the strides/pads of
+    torchvision's BasicConv2d (`torchvision/models/inception.py`), plus the
+    stem maxpool — is folded layer-by-layer with the repo's `fold_bn` and
+    replayed as a jax conv+bias+relu chain. Eval-mode running stats are
+    nontrivial (momentum-updated through train-mode forwards), so this
+    covers the full BN eval semantics, not just the algebra."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    import jax
+    import jax.numpy as jnp
+
+    torch.manual_seed(0)
+
+    class BasicConv2d(tnn.Module):
+        def __init__(self, cin, cout, k, stride=1, padding=0):
+            super().__init__()
+            self.conv = tnn.Conv2d(
+                cin, cout, k, stride=stride, padding=padding, bias=False
+            )
+            self.bn = tnn.BatchNorm2d(cout, eps=BN_EPS)
+
+        def forward(self, x):
+            return torch.relu(self.bn(self.conv(x)))
+
+    model = tnn.Sequential(
+        BasicConv2d(3, 8, 3, stride=2),            # Conv2d_1a_3x3 shape
+        BasicConv2d(8, 12, 3),                     # Conv2d_2a_3x3 shape
+        BasicConv2d(12, 16, 3, padding=1),         # Conv2d_2b_3x3 shape
+        tnn.MaxPool2d(3, stride=2),                # maxpool1
+        BasicConv2d(16, 10, 1),                    # Conv2d_3b_1x1 shape
+    )
+    # give the BN running stats real (non-init) values
+    model.train()
+    with torch.no_grad():
+        for _ in range(3):
+            model(torch.randn(4, 3, 33, 33))
+    model.eval()
+
+    rs = np.random.RandomState(7)
+    x = rs.rand(2, 33, 33, 3).astype(np.float32) * 2.0 - 1.0
+    with torch.no_grad():
+        want = model(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+
+    y = jnp.asarray(x)
+    for mod in model:
+        if isinstance(mod, tnn.MaxPool2d):
+            y = jax.lax.reduce_window(
+                y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                "VALID",
+            )
+            continue
+        kernel, bias = fold_bn(
+            mod.conv.weight.detach().numpy(),
+            mod.bn.weight.detach().numpy(),
+            mod.bn.bias.detach().numpy(),
+            mod.bn.running_mean.numpy(),
+            mod.bn.running_var.numpy(),
+        )
+        pad = mod.conv.padding[0]
+        y = jax.lax.conv_general_dilated(
+            y, jnp.asarray(kernel), mod.conv.stride,
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        y = jax.nn.relu(y)
+
+    got = np.asarray(y).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

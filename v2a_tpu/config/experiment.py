@@ -52,6 +52,11 @@ class ExperimentConfig:
     video_ckpt_milestone: int = 180000
     do_train_resume: bool = False
     env_backend: str = "libero"  # or "fake" for hermetic runs
+    # "diffusion" = the frozen video diffusion model (the release);
+    # "oracle" = the scripted ground-truth goal-frame generator for the
+    # fake world (envs/fake_oracle.py) — the hermetic stand-in the
+    # learning gate trains against (requires env_backend == "fake")
+    video_model_kind: str = "diffusion"
     # device mesh for multi-chip training: axis names + shape, e.g.
     # ("dp",) / ("dp", "tp") with (4, 2) on a v5e-8; empty = single device.
     # "auto_dp" spans all devices with one dp axis.

@@ -29,6 +29,40 @@ import numpy as np
 from v2a_tpu.envs.base import EnvList, make_seed_sets
 
 
+def render_state(
+    task_idx: int,
+    ee_pos: np.ndarray,
+    obj_pos: np.ndarray,
+    gripper: float,
+    t: int,
+    img_hw: Tuple[int, int],
+) -> np.ndarray:
+    """Draw one fake-world state. Shared by `_FakeSim.render` and the
+    scripted oracle video model (`fake_oracle.py`), so synthesized guidance
+    frames are pixel-compatible with live renders."""
+    h, w = img_hw
+
+    def to_px(pos):
+        col = int((pos[0] + 0.5) / 1.0 * (w - 1))
+        row = int((pos[1] + 0.5) / 1.0 * (h - 1))
+        return np.clip(row, 0, h - 1), np.clip(col, 0, w - 1)
+
+    img = np.full((h, w, 3), 20 + 10 * (task_idx % 16), np.uint8)
+    # object: green square
+    r, c = to_px(obj_pos)
+    img[max(r - 2, 0) : r + 3, max(c - 2, 0) : c + 3, 1] = 230
+    # EE: red square whose intensity encodes height
+    r, c = to_px(ee_pos)
+    shade = np.uint8(np.clip(120 + (ee_pos[2] - 0.4) * 160, 0, 255))
+    img[max(r - 2, 0) : r + 3, max(c - 2, 0) : c + 3, 0] = shade
+    # gripper stripe: blue top row block when closed
+    if gripper > 0:
+        img[0:3, :, 2] = 220
+    # timestep tick marks so consecutive frames always differ
+    img[h - 1, t % w, :] = 255
+    return img
+
+
 class _FakeSim:
     def __init__(self, task_idx: int, seed: int, img_hw: Tuple[int, int],
                  step_scale: float, grasp_radius: float):
@@ -79,21 +113,10 @@ class _FakeSim:
         return np.clip(row, 0, h - 1), np.clip(col, 0, w - 1)
 
     def render(self, cam: str) -> np.ndarray:
-        h, w = self.img_hw
-        img = np.full((h, w, 3), 20 + 10 * (self.task_idx % 16), np.uint8)
-        # object: green square
-        r, c = self._to_px(self.obj_pos)
-        img[max(r - 2, 0) : r + 3, max(c - 2, 0) : c + 3, 1] = 230
-        # EE: red square whose intensity encodes height
-        r, c = self._to_px(self.ee_pos)
-        shade = np.uint8(np.clip(120 + (self.ee_pos[2] - 0.4) * 160, 0, 255))
-        img[max(r - 2, 0) : r + 3, max(c - 2, 0) : c + 3, 0] = shade
-        # gripper stripe: blue top row block when closed
-        if self.gripper > 0:
-            img[0:3, :, 2] = 220
-        # timestep tick marks so consecutive frames always differ
-        img[h - 1, self.t % w, :] = 255
-        return img
+        return render_state(
+            self.task_idx, self.ee_pos, self.obj_pos, self.gripper,
+            self.t, self.img_hw,
+        )
 
     def render_depth(self, cam: str) -> np.ndarray:
         """Metric depth seen from the wrist cam looking down: the window

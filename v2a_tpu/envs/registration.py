@@ -37,6 +37,13 @@ def _register_defaults():
     register_env_list("fake-2tk-small-v0", FakeEnvList, num_tasks=2, img_hw=(32, 32))
     # the fake_smoke config's dataset (32x32, 2 tasks)
     register_env_list("fake-2tk-v0", FakeEnvList, num_tasks=2, img_hw=(32, 32))
+    # the learning-gate world (tests/test_learning*.py, config/fake/
+    # fake_learn.py): faster EE + wider grasp radius so the closed loop
+    # converges in CI time
+    register_env_list(
+        "fake-2tk-learn-v0", FakeEnvList,
+        num_tasks=2, img_hw=(32, 32), step_scale=0.05, grasp_radius=0.15,
+    )
 
     # the Libero suites of `init_libero.py:25-77`; constructed lazily so the
     # LIBERO import only happens if actually requested

@@ -77,6 +77,11 @@ class PolicyConfig:
     prediction_type: str = "epsilon"
     action_orn01: bool = False
     dtype: str = "float32"
+    # vision trunk stages; default = ResNet-18 (the release config).
+    # Smaller tuples give the shallow backbones robomimic's configurable
+    # VisualCore supports — used by the hermetic learning-gate tests.
+    vision_stage_sizes: Tuple[int, ...] = (2, 2, 2, 2)
+    vision_stage_features: Tuple[int, ...] = (64, 128, 256, 512)
     # eval-time DDPM sampling temperature (`plan_lb.py:70`)
     ddpm_var_temp: float = 1.0
 
@@ -101,6 +106,8 @@ class PolicyNets(nn.Module):
             feature_dimension=cfg.obs_feature_dim,
             num_kp=cfg.num_kp,
             dtype=cfg.compute_dtype,
+            stage_sizes=tuple(cfg.vision_stage_sizes),
+            stage_features=tuple(cfg.vision_stage_features),
         )
         self.unet = ConditionalUnet1D(
             input_dim=cfg.action_dim,
@@ -207,6 +214,8 @@ class DiffusionPolicy:
             feature_dimension=cfg.obs_feature_dim,
             num_kp=cfg.num_kp,
             dtype=cfg.compute_dtype,
+            stage_sizes=tuple(cfg.vision_stage_sizes),
+            stage_features=tuple(cfg.vision_stage_features),
         )
         feats = jax.vmap(lambda p, x: vc.apply({"params": p}, x))(
             stacked, imgs

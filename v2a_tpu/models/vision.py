@@ -148,15 +148,28 @@ class SpatialSoftmax(nn.Module):
 
 class VisualCore(nn.Module):
     """Backbone -> SpatialSoftmax -> flatten -> Linear(feature_dimension)
-    (`vision_nets.py:65-177`)."""
+    (`vision_nets.py:65-177`).
+
+    `stage_sizes`/`stage_features` default to ResNet-18 (the release
+    config); smaller stage tuples give the shallow trunks robomimic's
+    configurable `VisualCore` supports (`vision_nets.py:65-90` takes the
+    backbone class as config) — used by the hermetic learning tests where
+    the full ResNet-18 would dominate CPU CI time."""
 
     feature_dimension: int = 64
     num_kp: int = 32
     dtype: jnp.dtype = jnp.float32
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    stage_features: Sequence[int] = (64, 128, 256, 512)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = ResNet18Conv(dtype=self.dtype, name="backbone")(x)
+        x = ResNet18Conv(
+            dtype=self.dtype,
+            stage_sizes=tuple(self.stage_sizes),
+            stage_features=tuple(self.stage_features),
+            name="backbone",
+        )(x)
         x = SpatialSoftmax(num_kp=self.num_kp, dtype=self.dtype, name="pool")(x)
         x = x.reshape(x.shape[0], -1)
         return nn.Dense(self.feature_dimension, dtype=self.dtype, name="proj")(x)
@@ -189,6 +202,8 @@ class MultiImageObsEncoder(nn.Module):
     resize_shape: Optional[Tuple[int, int]] = None
     crop_shape: Optional[Tuple[int, int]] = None
     imagenet_norm: bool = False
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    stage_features: Sequence[int] = (64, 128, 256, 512)
 
     def _preprocess(self, img: jax.Array) -> jax.Array:
         if self.resize_shape is not None:
@@ -216,6 +231,8 @@ class MultiImageObsEncoder(nn.Module):
                     feature_dimension=self.feature_dimension,
                     num_kp=self.num_kp,
                     dtype=self.dtype,
+                    stage_sizes=tuple(self.stage_sizes),
+                    stage_features=tuple(self.stage_features),
                     name=f"enc_{key}",
                 )(img)
             )

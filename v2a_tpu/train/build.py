@@ -69,7 +69,23 @@ def build_experiment(
     workdir = workdir or cfg.savepath()
     env_list = build_env_list(cfg)
     policy = DiffusionPolicy.create(cfg.policy)
-    video_model = make_video_model(cfg) if with_video_model else None
+    video_model = None
+    if with_video_model:
+        if cfg.video_model_kind == "oracle":
+            # hermetic scripted goal-frame generator (the learning gate's
+            # stand-in for the frozen pretrained model; fake env only)
+            if cfg.env_backend != "fake":
+                raise ValueError(
+                    "video_model_kind='oracle' requires env_backend='fake'"
+                )
+            from v2a_tpu.envs.fake_oracle import FakeOracleVideoModel
+
+            video_model = FakeOracleVideoModel(
+                env_list.task_to_task_idx,
+                horizon=cfg.video.video_future_horizon,
+            )
+        else:
+            video_model = make_video_model(cfg)
 
     mesh = None
     if cfg.mesh_axes:
@@ -82,7 +98,11 @@ def build_experiment(
                 tuple(cfg.mesh_axes),
                 tuple(cfg.mesh_shape) if cfg.mesh_shape else None,
             )
-        if video_model is not None and "tp" in mesh.axis_names:
+        if (
+            video_model is not None
+            and "tp" in mesh.axis_names
+            and hasattr(video_model, "shard_for_mesh")  # oracle: host-side
+        ):
             video_model.shard_for_mesh(mesh)
 
     env_pool = None
@@ -96,7 +116,11 @@ def build_experiment(
         env_list=env_list,
         config=cfg.trainer,
         workdir=workdir,
-        video_model=_VideoSampleAdapter(video_model) if video_model else None,
+        video_model=(
+            video_model
+            if cfg.video_model_kind == "oracle"  # already host-protocol
+            else _VideoSampleAdapter(video_model) if video_model else None
+        ),
         explore_config=cfg.explore,
         opt_config=cfg.opt,
         ema_config=cfg.ema,
