@@ -126,7 +126,7 @@ def main():
     # normalize smoke runs to the full 100-step cost
     frames_per_s *= steps / STEPS
 
-    print(json.dumps({
+    result = {
         "metric": "video_frames_per_sec_per_chip_ddim100",
         "value": round(float(frames_per_s), 3),
         "unit": "frames/s/chip",
@@ -137,7 +137,43 @@ def main():
         # (the defensible anchor; vs_baseline rests on an A100 estimate)
         "pct_of_flop_ceiling": round(
             100.0 * float(frames_per_s) / FLOP_MODEL_CEILING_FPS, 1),
-    }))
+    }
+
+    # -- secondary north-star metrics (VERDICT round-4 weak #3): the driver
+    # records bench.py's one JSON line every round, so the policy-train and
+    # exploration-cycle metrics of BASELINE.json regression-track here too.
+    # Guarded: a failure/timeout in a secondary must never cost the headline.
+    if os.environ.get("V2A_BENCH_SECONDARY", "1") == "1":
+        import importlib.util
+
+        scripts_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "scripts")
+
+        def _load(name):
+            spec = importlib.util.spec_from_file_location(
+                name, os.path.join(scripts_dir, f"{name}.py")
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            return mod
+
+        try:
+            r = _load("bench_train").measure_chained_steps_per_s()
+            r.pop("_internal", None)
+            result["policy_train_steps_per_s"] = r["value"]
+            result["policy_train_detail"] = r
+        except Exception as e:  # noqa: BLE001
+            result["policy_train_steps_per_s"] = None
+            result["policy_train_error"] = repr(e)
+        try:
+            r = _load("bench_explore").measure_pipelined_cycle_s()
+            result["explore_cycle_s"] = r["value"]
+            result["explore_cycle_detail"] = r
+        except Exception as e:  # noqa: BLE001
+            result["explore_cycle_s"] = None
+            result["explore_cycle_error"] = repr(e)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

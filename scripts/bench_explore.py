@@ -25,6 +25,65 @@ from v2a_tpu.train.explore import ExploreConfig
 from v2a_tpu.train.trainer import OnlineTrainer, TrainerConfig
 
 
+def measure_pipelined_cycle_s(video=None, policy=None):
+    """The exploration-cycle north-star measurement (BASELINE.json metric
+    3): steady-state pipelined cycle wall-clock at the release model sizes
+    over the fake env (sim cost ~0 — isolates the TPU-call structure).
+    Returns the result dict; also called by bench.py so BENCH_r*.json
+    regression-tracks this metric every round (VERDICT round-4 weak #3)."""
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if video is None:
+        if on_tpu:
+            vcfg = VideoModelConfig(dtype="bfloat16")
+        else:
+            vcfg = VideoModelConfig(
+                image_size=(32, 32), sample_per_seq=4, timesteps=8,
+                sampling_timesteps=2, model_channels=32, channel_mult=(1, 2),
+                num_res_blocks=1, attention_resolutions=(8,), text_dim=64,
+            )
+        video = VideoPredModel(vcfg)
+        video.init(jax.random.PRNGKey(0))
+    if policy is None:
+        if on_tpu:
+            pcfg = PolicyConfig(dtype="bfloat16")
+        else:
+            pcfg = PolicyConfig(
+                image_size=(32, 32), down_dims=(32, 64), horizon=8,
+                n_action_steps=4, num_train_timesteps=10,
+                num_inference_steps_ddim=2,
+            )
+        policy = DiffusionPolicy.create(pcfg)
+    hw = video.config.image_size[0]
+    n_workers = 8 if on_tpu else 2
+    envs = FakeEnvList(num_tasks=8 if on_tpu else 2, img_hw=(hw, hw))
+    ecfg = ExploreConfig(
+        act_down_val=-0.1, n_acts_per_pred=policy.config.n_action_steps
+    )
+    with EnvWorkerPool(
+        "fake-8tk-v0" if on_tpu else "fake-2tk-small-v0", n_workers=n_workers
+    ) as pool:
+        trainer = OnlineTrainer(
+            policy, envs, TrainerConfig(
+                randsam_path="", min_len_uB=9, pipeline_explore=True,
+            ),
+            "/tmp/explore_bench_np",
+            video_model=video, explore_config=ecfg, seed=0, env_pool=pool,
+        )
+        trainer.video_guided_explore()  # compile + first (cold) cycle
+        times = []
+        for _ in range(3 if on_tpu else 1):
+            t0 = time.perf_counter()
+            trainer.video_guided_explore()
+            times.append(time.perf_counter() - t0)
+    return {
+        "metric": "explore_cycle_pipelined_s",
+        "value": round(sorted(times)[len(times) // 2], 2),
+        "unit": "s/cycle",
+        "vs_baseline": None,
+        "iters_s": [round(t, 2) for t in times],
+    }
+
+
 def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     vcfg = VideoModelConfig(dtype="bfloat16" if on_tpu else "float32")

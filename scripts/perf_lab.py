@@ -855,6 +855,38 @@ def trace_train(topk=30, chain=0):
     _trace_rollup(run_once, topk=topk)
 
 
+def trace_vtrain(topk=40, batch=4, policy="off", chain=3):
+    """xplane trace of the release-size VIDEO train step
+    (bench_video_train's exact program: pred_v p_losses fwd+bwd + fused
+    clip+AdamW + EMA, plain-XLA U-Net — the training path of
+    `v2a_tpu/train/video_trainer.py`). VERDICT round-4 ask #2: attribute
+    the 302 ms/step at B=4 against the ~129 ms fwd+bwd FLOP floor with the
+    same per-bucket rigor the sampler got."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_video_train",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_video_train.py"),
+    )
+    bvt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bvt)
+
+    use_ckpt = policy != "off"
+    chain_fn, state, batch_data = bvt.build_step(
+        use_ckpt, batch, 128, 128, chain,
+        remat_policy=policy if use_ckpt else "blocks",
+    )
+    rng = jax.random.PRNGKey(1)
+    holder = {"state": state}
+
+    def run_once():
+        holder["state"], loss = chain_fn(holder["state"], rng, batch_data)
+        np.asarray(loss)
+
+    _trace_rollup(run_once, topk=topk, per_run=chain, runs=1)
+
+
 def _trace_rollup(run_once, topk=30, per_run=1, runs=3):
     div = runs * per_run
     import glob
@@ -989,6 +1021,14 @@ def main():
             continue
         if name == "dotbench":
             dot_ceiling_bench()
+            continue
+        if name.startswith("trace_vtrain"):
+            # e.g. trace_vtrain:4:off or trace_vtrain:8:blocks
+            parts = name.split(":")
+            trace_vtrain(
+                batch=int(parts[1]) if len(parts) > 1 else 4,
+                policy=parts[2] if len(parts) > 2 else "off",
+            )
             continue
         if name.startswith("trace_chain:"):
             # finer top-k, e.g. trace_chain:120 to split the fusion bucket
