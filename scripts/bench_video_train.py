@@ -58,6 +58,18 @@ def build_step(use_checkpoint: bool, batch: int, hw: int, mc: int, chain: int,
             policy=jax.checkpoint_policies.save_only_these_names(
                 "v2a_level"),
         )
+    elif use_checkpoint and remat_policy == "mxu":
+        # surgical policy (round-5 trace finding: the B=4 step stores f32
+        # GroupNorm/SiLU intermediates whose HBM round-trips + layout
+        # copies eat ~16% of the step): save ONLY MXU outputs (convs +
+        # dots); all VPU chains (GroupNorm, SiLU, softmax) recompute in
+        # backward from those. The module itself stays plain — no block
+        # remat, no level tags.
+        apply_fn = jax.checkpoint(
+            apply_fn,
+            policy=lambda prim, *_, **__: prim.name in (
+                "conv_general_dilated", "dot_general"),
+        )
     diffusion = GaussianDiffusion(
         schedule=DiffusionSchedule.create(100, "cosine"), objective="pred_v",
     )

@@ -117,6 +117,37 @@ def test_video_unet_level_remat_grads_match():
     assert "v2a_level" in jaxpr and ("remat" in jaxpr or "checkpoint" in jaxpr)
 
 
+def test_video_unet_mxu_remat_grads_match():
+    """remat_policy="mxu" (round 5): save only conv/dot outputs, recompute
+    the VPU chains (GroupNorm/SiLU/softmax) in backward. The module stays
+    plain; only the trainer-side jax.checkpoint wrapper differs."""
+    kw = dict(
+        in_channels=6, model_channels=32, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=16, task_token_dim=16, fused=False,
+    )
+    base = VideoUNet(**kw)
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(2, 3, 8, 8, 6), jnp.float32)
+    t = jnp.asarray([1, 7])
+    tok = jnp.asarray(rs.randn(2, 5, 16), jnp.float32)
+    params = base.init(jax.random.PRNGKey(0), x, t, tok)
+
+    wrapped = jax.checkpoint(
+        lambda p, xx, tt, ee: base.apply(p, xx, tt, ee),
+        policy=lambda prim, *_, **__: prim.name in (
+            "conv_general_dilated", "dot_general"),
+    )
+    out_diff = float(
+        jnp.abs(base.apply(params, x, t, tok) - wrapped(params, x, t, tok))
+        .max()
+    )
+    assert out_diff < 1e-5
+    g0 = jax.grad(lambda p: jnp.sum(base.apply(p, x, t, tok) ** 2))(params)
+    g1 = jax.grad(lambda p: jnp.sum(wrapped(p, x, t, tok) ** 2))(params)
+    _assert_grads_close(g0, g1)
+
+
 def test_image_unet_remat_grads_match():
     kw = dict(
         in_channels=3, model_channels=8, out_channels=3, num_res_blocks=1,

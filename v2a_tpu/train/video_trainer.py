@@ -54,9 +54,12 @@ class VideoTrainerConfig:
     # lets the 7-frame 128² video U-Net train at real batch sizes in
     # 16 GB HBM, at the cost of an extra forward's FLOPs.
     use_checkpoint: bool = False
-    # "blocks" (reference granularity) or "levels" (save only resolution-
+    # "blocks" (reference granularity), "levels" (save only resolution-
     # level boundaries; each level incl. its skips recomputes from its
-    # entry tag in backward — fits batches block remat cannot hold)
+    # entry tag in backward — fits batches block remat cannot hold), or
+    # "mxu" (save only conv/dot outputs; GroupNorm/SiLU/softmax chains
+    # recompute from them — drops the f32 norm intermediates whose HBM
+    # round-trips the round-5 trace attributed ~16% of the B=4 step to)
     remat_policy: str = "blocks"
 
 
@@ -173,6 +176,17 @@ class VideoModelTrainer:
                 apply_fn,
                 policy=jax.checkpoint_policies.save_only_these_names(
                     "v2a_level"
+                ),
+            )
+        elif self.cfg.use_checkpoint and self.cfg.remat_policy == "mxu":
+            # save ONLY MXU outputs (convs + dots); the module stays plain
+            # (`use_checkpoint` compares against "blocks"/"levels" and is a
+            # no-op for "mxu"). GroupNorm/SiLU/softmax recompute in backward
+            # from the saved conv outputs.
+            apply_fn = jax.checkpoint(
+                apply_fn,
+                policy=lambda prim, *_, **__: prim.name in (
+                    "conv_general_dilated", "dot_general"
                 ),
             )
         self._train_apply = apply_fn  # introspectable (tests/test_remat.py)
