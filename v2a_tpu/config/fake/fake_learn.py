@@ -43,8 +43,8 @@ base = {
         "rand_explo_num_ep_per_tk": 1,
         "rand_explo_type": "live",
         "live_rand_ep_len": 20,
-        "n_train_steps": 1000,
-        "save_freq": 500,
+        "n_train_steps": 2500,
+        "save_freq": 1250,
         "log_freq": 100,
         "buf_sample_batch_size": 16,
         "min_len_uB": 9,
@@ -57,7 +57,13 @@ base = {
     "explore": {
         "n_acts_per_pred": 4,
         "n_preds_betw_vframes": (1, 2),
-        "act_down_val": -0.1,
+        # deep scripted descent (z covers the full approach in 16 steps at
+        # step_scale 0.05) + a trigger that fires only when the wrist-cam
+        # window actually sees the object (fake.py obj_window_xy=0.12 for
+        # this env; z_diff 0.46 over the object vs 0.40 over the table)
+        "act_down_val": -0.9,
+        "grasp_z_diff_limit": 0.42,
+        "grasp_abs_z_limit": 0.7,
     },
     "eval": {
         "n_seeds": 4,
