@@ -139,10 +139,20 @@ def main():
             100.0 * float(frames_per_s) / FLOP_MODEL_CEILING_FPS, 1),
     }
 
+    # The headline prints IMMEDIATELY (flushed): if a driver-side timeout
+    # kills the process mid-secondaries, the captured tail still ends in a
+    # valid headline JSON line. When the secondaries complete, the FULL
+    # superset line prints last and is the one the tail parser picks up.
+    import sys
+
+    print(json.dumps(result), flush=True)
+    sys.stdout.flush()
+
     # -- secondary north-star metrics (VERDICT round-4 weak #3): the driver
     # records bench.py's one JSON line every round, so the policy-train and
     # exploration-cycle metrics of BASELINE.json regression-track here too.
     # Guarded: a failure/timeout in a secondary must never cost the headline.
+    emitted_secondary = False
     if os.environ.get("V2A_BENCH_SECONDARY", "1") == "1":
         import importlib.util
 
@@ -172,8 +182,10 @@ def main():
         except Exception as e:  # noqa: BLE001
             result["explore_cycle_s"] = None
             result["explore_cycle_error"] = repr(e)
+        emitted_secondary = True
 
-    print(json.dumps(result))
+    if emitted_secondary:
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
