@@ -1,0 +1,97 @@
+"""The closed-loop learning gate (VERDICT round-4 ask #1 tier b).
+
+Runs the REAL entry points end-to-end, hermetically: `scripts/train.py` on
+`config/fake/fake_learn.py` (fake reach-and-grasp world + scripted oracle
+goal-frame generator standing in for the frozen video diffusion model —
+the full online loop: live rand phase, video-guided exploration with the
+depth-heuristic grasp, hindsight-relabeled mixed-buffer training,
+checkpoints), then `scripts/eval.py` on the produced workdir with the
+reference's eval-time overrides (`plan_lb.py:67-74`), twice:
+
+- `--epoch 0`: the step-1 checkpoint — the near-random baseline,
+- `--epoch latest`: the trained policy.
+
+The gate: the trained success rate must beat the baseline by a wide
+margin. This is the repo's counterpart of the reference's de-facto
+acceptance test (`diffuser/libero/lb_eval_helper.py:84-163`, SURVEY §4.6):
+a dead optimizer, broken hindsight relabeling, a goal-frame mismatch, an
+exploration regression, or a checkpoint/restore bug all turn it red.
+"""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = os.path.join(REPO, "v2a_tpu/config/fake/fake_learn.py")
+
+
+def _run(args, timeout):
+    env = dict(
+        os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+    )
+    proc = subprocess.run(
+        [sys.executable, *args], capture_output=True, text=True,
+        timeout=timeout, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"{args[:2]} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-3000:]}"
+    )
+    return proc.stdout
+
+
+def _eval_suc_rate(workdir, epoch, eval_seed):
+    _run(
+        [
+            os.path.join(REPO, "scripts/eval.py"),
+            "--workdir", workdir,
+            "--epoch", str(epoch),
+            "--n_seeds", "6",
+            "--vis", "0",
+            "--eval_seed", str(eval_seed),
+        ],
+        timeout=2400,
+    )
+    results = []
+    for path in glob.glob(os.path.join(workdir, "plans", "**", "result-*.json"),
+                          recursive=True):
+        with open(path) as f:
+            results.append((os.path.getmtime(path), json.load(f)))
+    assert results, "eval.py wrote no result JSON"
+    return sorted(results)[-1][1]["suc_rate"]
+
+
+@pytest.mark.slow
+def test_online_loop_learns_to_succeed(tmp_path):
+    _run(
+        [
+            os.path.join(REPO, "scripts/train.py"),
+            "--config", CFG,
+            "--logbase", str(tmp_path),
+        ],
+        timeout=5000,
+    )
+    workdirs = [
+        root
+        for root, _dirs, files in os.walk(tmp_path)
+        if "experiment_config.json" in files
+    ]
+    assert len(workdirs) == 1, workdirs
+    wd = workdirs[0]
+
+    baseline = _eval_suc_rate(wd, epoch=0, eval_seed=0)
+    trained = _eval_suc_rate(wd, epoch="latest", eval_seed=0)
+
+    # 12 episodes each (2 tasks x 6 held-out seeds). Margins set from the
+    # round-5 prototype runs (PROGRESS.jsonl): baseline 0.000-0.167,
+    # trained 0.42-0.83 at 1000-2000 steps.
+    assert trained >= baseline + 0.25, (
+        f"online loop did not learn: baseline {baseline:.3f} -> "
+        f"trained {trained:.3f}"
+    )
+    assert trained >= 0.4, f"trained success rate too low: {trained:.3f}"

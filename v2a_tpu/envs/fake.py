@@ -65,12 +65,14 @@ def render_state(
 
 class _FakeSim:
     def __init__(self, task_idx: int, seed: int, img_hw: Tuple[int, int],
-                 step_scale: float, grasp_radius: float):
+                 step_scale: float, grasp_radius: float,
+                 obj_window_xy: float = 0.06):
         self.task_idx = task_idx
         self.seed = seed
         self.img_hw = img_hw
         self.step_scale = step_scale
         self.grasp_radius = grasp_radius
+        self.obj_window_xy = obj_window_xy
         rs = np.random.RandomState(seed % (2**31 - 1))
         self.ee_pos = np.asarray([0.0, 0.0, 0.8], np.float32) + rs.uniform(
             -0.05, 0.05, 3
@@ -126,7 +128,7 @@ class _FakeSim:
         table_z = 0.4
         xy_dist = float(np.linalg.norm(self.ee_pos[:2] - self.obj_pos[:2]))
         depth = np.full((h, w), self.ee_pos[2] - table_z, np.float32)
-        if xy_dist < 0.06:
+        if xy_dist < self.obj_window_xy:
             # the object fills the heuristic's center-bottom window
             h_st, h_e = round(h * 0.75), round(h * 0.82)
             w_st, w_e = round(w * 0.35), round(w * 0.65)
@@ -151,6 +153,7 @@ class FakeEnvList(EnvList):
         task_names: Optional[List[str]] = None,
         task_idx_offset: int = 65,
         np_seed: int = 2727,
+        obj_window_xy: float = 0.06,
     ):
         self.task_list = task_names or [
             f"fake task {i} pick up the block" for i in range(num_tasks)
@@ -165,6 +168,11 @@ class FakeEnvList(EnvList):
         self.img_hw = img_hw
         self.step_scale = step_scale
         self.grasp_radius = grasp_radius
+        # xy radius within which the wrist-cam depth window "sees" the
+        # object (drives the grasp heuristic's trigger). The learn-gate
+        # env widens it to 0.12 so the trigger matches the policy's
+        # reachable alignment precision at 32x32 rendering.
+        self.obj_window_xy = obj_window_xy
         self.np_random = np.random.default_rng(np_seed)
         self._live: Dict[Tuple[str, int], _FakeSim] = {}
         self.actual_env_seeds: Dict[Tuple[str, int], int] = {}
@@ -182,6 +190,7 @@ class FakeEnvList(EnvList):
         sim = _FakeSim(
             self.task_to_task_idx[task], seed, self.img_hw,
             self.step_scale, self.grasp_radius,
+            obj_window_xy=self.obj_window_xy,
         )
         self._live[(task, env_idx)] = sim
         self.actual_env_seeds[(task, env_idx)] = seed

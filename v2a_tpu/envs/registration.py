@@ -43,6 +43,7 @@ def _register_defaults():
     register_env_list(
         "fake-2tk-learn-v0", FakeEnvList,
         num_tasks=2, img_hw=(32, 32), step_scale=0.05, grasp_radius=0.15,
+        obj_window_xy=0.12,
     )
 
     # the Libero suites of `init_libero.py:25-77`; constructed lazily so the
