@@ -37,7 +37,7 @@ FRAMES, TOKENS = 7, 16
 
 
 def build_step(use_checkpoint: bool, batch: int, hw: int, mc: int, chain: int,
-               remat_policy: str = "blocks"):
+               remat_policy: str = "blocks", train_fused: bool = False):
     full = mc >= 128
     unet = VideoUNet(
         in_channels=6, model_channels=mc, out_channels=3,
@@ -47,7 +47,7 @@ def build_step(use_checkpoint: bool, batch: int, hw: int, mc: int, chain: int,
         num_head_channels=32,
         task_token_dim=512, dtype=jnp.bfloat16 if full else jnp.float32,
         fused=False, use_checkpoint=use_checkpoint,
-        remat_policy=remat_policy,
+        remat_policy=remat_policy, train_fused=train_fused,
     )
     apply_fn = lambda p, x, tt, e: unet.apply(p, x, tt, e)  # noqa: E731
     if use_checkpoint and remat_policy == "levels":
@@ -127,14 +127,22 @@ def main():
         configs = [("off", 2), ("blocks", 2), ("levels", 2)]
 
     for policy, batch in configs:
-        use_ckpt = policy != "off"
+        # "tfused[-<remat>]": differentiable Pallas conv routing
+        # (VideoUNet.train_fused -> ops/conv_vjp.py), optionally combined
+        # with a remat policy, e.g. "tfused-blocks".
+        train_fused = policy.startswith("tfused")
+        remat = policy.split("-", 1)[1] if "-" in policy else (
+            "blocks" if not train_fused else "off")
+        use_ckpt = (policy != "off" and not train_fused) or (
+            train_fused and remat != "off")
         label = {"metric": "video_train_steps_per_sec",
                  "use_checkpoint": use_ckpt, "remat_policy": policy,
                  "batch": batch, "unit": "steps/s/chip"}
         try:
             chainf, state, batch_data = build_step(
                 use_ckpt, batch, hw, mc, chain,
-                remat_policy=policy if use_ckpt else "blocks")
+                remat_policy=remat if use_ckpt else "blocks",
+                train_fused=train_fused)
             rng = jax.random.PRNGKey(1)
             state, loss = chainf(state, rng, batch_data)
             np.asarray(loss)  # compile + warm

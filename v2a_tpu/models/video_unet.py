@@ -64,6 +64,10 @@ PERF_SPLIT_SKIP = True
 # (ops/resblock_kernels.py::spatial_conv3x3) so the whole fused ResBlock
 # interior stays in ONE layout (no {3,0,2,1} relayout fusions).
 PERF_PALLAS_SPATIAL = False
+# In the TRAIN-fused path (`train_fused`), run the backward input-gradient
+# conv through the same Pallas row-major kernel (plain-conv mode, flipped
+# weights) instead of XLA's bwd conv — see ops/conv_vjp.py.
+PERF_TRAIN_DGRAD_PALLAS = os.environ.get("V2A_TRAIN_DGRAD_PALLAS", "1") == "1"
 # Express the fused temporal conv as an XLA 2D convolution with a (k, 1)
 # kernel over the (B, F, H*W, C) view. Every op in the ResBlock is then an
 # XLA conv sharing the {3,0,2,1} operand layout — no Pallas boundary, no
@@ -470,6 +474,11 @@ class PseudoConv3d(nn.Module):
     zero_init: bool = False
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
+    # Training-path Pallas routing: the spatial 3x3 conv runs through the
+    # DIFFERENTIABLE fused kernel (`ops/conv_vjp.py` custom_vjp around
+    # `fused_affine_conv3x3`) with the collapsed GroupNorm affine + SiLU
+    # applied in VMEM. Requires `pre_affine`; parameter tree identical.
+    train_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -585,11 +594,38 @@ class PseudoConv3d(nn.Module):
             use_spatial2 = self.fused and _spatial2_eligible(
                 self.features, [c], h * w, k, self.spatial_strides
             )
-            if pre_affine is not None and not use_spatial2:
+            use_train_fused = (
+                self.train_fused and not self.fused
+                and pre_affine is not None
+                and _spatial2_eligible(
+                    self.features, [c], h * w, k, self.spatial_strides
+                )
+            )
+            if pre_affine is not None and not (
+                use_spatial2 or use_train_fused
+            ):
                 raise ValueError(
                     "pre_affine requires the spatial2-eligible fused path"
                 )
-            if use_spatial2:
+            if use_train_fused:
+                from v2a_tpu.ops.conv_vjp import affine_silu_conv3x3
+
+                kernel, bias2 = _Conv2DParams(
+                    self.features, k, self.zero_init, name="spatial_conv"
+                )(c)
+                a0, b0 = pre_affine  # (B, C) f32
+                af = jnp.broadcast_to(
+                    a0[:, None, :], (b, f, c)
+                ).reshape(b * f, c)
+                bf_ = jnp.broadcast_to(
+                    b0[:, None, :], (b, f, c)
+                ).reshape(b * f, c)
+                y = affine_silu_conv3x3(
+                    y.astype(self.dtype), kernel, bias2, af, bf_,
+                    dgrad_pallas=PERF_TRAIN_DGRAD_PALLAS,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            elif use_spatial2:
                 from v2a_tpu.ops.resblock_kernels import fused_affine_conv3x3
 
                 kernel, bias2 = _Conv2DParams(
@@ -970,6 +1006,11 @@ class ResBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas_gn: bool = False
     fused: bool = False
+    # Differentiable Pallas routing for TRAINING (see ops/conv_vjp.py):
+    # both GN->SiLU->conv3x3 halves run through the custom_vjp fused
+    # kernel — the normed tensor never hits HBM and the forward convs pay
+    # no {3,0,2,1} relayouts. Same eligibility gate as the inference sp2.
+    train_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -982,10 +1023,31 @@ class ResBlock3D(nn.Module):
         if self.fused:
             return self._fused(x, emb, stats, deterministic)
         c = x.shape[-1]
-        h = GroupNorm32(
-            with_silu=True, use_pallas=self.use_pallas_gn, name="in_norm"
-        )(x).astype(self.dtype)
-        h = PseudoConv3d(self.out_channels, 3, dtype=self.dtype, name="in_conv")(h)
+        tf = (
+            self.train_fused
+            and not self.use_scale_shift_norm and self.dropout == 0
+            and _spatial2_eligible(
+                self.out_channels, [c, self.out_channels],
+                x.shape[2] * x.shape[3], 3, (1, 1),
+            )
+        )
+        if tf:
+            # hand the collapsed GN affine to the differentiable Pallas
+            # conv instead of materializing the normed tensor
+            pre1 = GroupNorm32(
+                with_silu=True, use_pallas=False, name="in_norm"
+            )(x, return_affine=True)
+            h = PseudoConv3d(
+                self.out_channels, 3, dtype=self.dtype, train_fused=True,
+                name="in_conv",
+            )(x, pre_affine=pre1)
+        else:
+            h = GroupNorm32(
+                with_silu=True, use_pallas=self.use_pallas_gn, name="in_norm"
+            )(x).astype(self.dtype)
+            h = PseudoConv3d(
+                self.out_channels, 3, dtype=self.dtype, name="in_conv"
+            )(h)
 
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
@@ -993,11 +1055,17 @@ class ResBlock3D(nn.Module):
         )(nn.silu(emb.astype(self.dtype)))
         emb_out = emb_out[:, None, None, None, :]
 
+        pre2 = None
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = GroupNorm32(use_pallas=self.use_pallas_gn, name="out_norm")(h)
             h = h * (1 + scale) + shift
             h = nn.silu(h).astype(self.dtype)
+        elif tf:
+            h = h + emb_out
+            pre2 = GroupNorm32(
+                with_silu=True, use_pallas=False, name="out_norm"
+            )(h, return_affine=True)
         else:
             h = h + emb_out
             h = GroupNorm32(
@@ -1008,8 +1076,9 @@ class ResBlock3D(nn.Module):
         # NB: this fork of guided-diffusion does NOT zero-init its output
         # convs (zero_module is imported but unused in its unet.py)
         h = PseudoConv3d(
-            self.out_channels, 3, dtype=self.dtype, name="out_conv"
-        )(h)
+            self.out_channels, 3, dtype=self.dtype, train_fused=tf,
+            name="out_conv",
+        )(h, pre_affine=pre2)
 
         if c != self.out_channels:
             # 1x1 pseudo-3d conv == plain 2D 1x1 (`nn.py:45-46`: no temporal
@@ -1535,6 +1604,13 @@ class VideoUNet(nn.Module):
     #       block remat doubles the max video-train batch; level remat is
     #       for the batches block remat still cannot hold).
     remat_policy: str = "blocks"
+    # TRAINING-path Pallas routing (mutually exclusive with `fused`, which
+    # is inference-only): ResBlock GN->SiLU->conv3x3 halves run through the
+    # differentiable fused kernel (`ops/conv_vjp.py`), so the training
+    # forward pays neither the conv emitter's {3,0,2,1} relayout copies nor
+    # the materialized GroupNorm activations (PERF.md round-5 trace: 49 ms
+    # of pure layout copies per B=4 step on the plain-XLA path).
+    train_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -1585,6 +1661,7 @@ class VideoUNet(nn.Module):
             self.use_checkpoint and not fused
             and self.remat_policy == "blocks"
         )
+        tfused = self.train_fused and not fused
         _Res = nn.remat(ResBlock3D, static_argnums=(4,)) if remat else ResBlock3D
         _Attn = (
             nn.remat(SpatialAttentionBlock, static_argnums=(3,))
@@ -1629,7 +1706,8 @@ class VideoUNet(nn.Module):
             for _ in range(self.num_res_blocks):
                 h = _Res(
                     ch, self.dropout, self.use_scale_shift_norm, self.dtype,
-                    self.use_pallas_gn, fused, name=f"down_res_{block_idx}",
+                    self.use_pallas_gn, fused, train_fused=tfused,
+                    name=f"down_res_{block_idx}",
                 )(h, emb, st, deterministic)
                 if fused:
                     h, st = h
@@ -1667,7 +1745,7 @@ class VideoUNet(nn.Module):
         mid_ch = int(self.channel_mult[-1] * mc)
         h = _Res(
             mid_ch, self.dropout, self.use_scale_shift_norm, self.dtype,
-            self.use_pallas_gn, fused, name="mid_res0",
+            self.use_pallas_gn, fused, train_fused=tfused, name="mid_res0",
         )(h, emb, st, deterministic)
         if fused:
             h, st = h
@@ -1681,7 +1759,7 @@ class VideoUNet(nn.Module):
             st = None
         h = _Res(
             mid_ch, self.dropout, self.use_scale_shift_norm, self.dtype,
-            self.use_pallas_gn, fused, name="mid_res1",
+            self.use_pallas_gn, fused, train_fused=tfused, name="mid_res1",
         )(h, emb, st, deterministic)
         if fused:
             h, st = h
@@ -1719,7 +1797,8 @@ class VideoUNet(nn.Module):
                         st_in = None
                 h = _Res(
                     ch, self.dropout, self.use_scale_shift_norm, self.dtype,
-                    self.use_pallas_gn, fused, name=f"up_res_{block_idx}",
+                    self.use_pallas_gn, fused, train_fused=tfused,
+                    name=f"up_res_{block_idx}",
                 )(h_in, emb, st_in, deterministic)
                 if fused:
                     h, st = h

@@ -61,6 +61,13 @@ class VideoTrainerConfig:
     # recompute from them — drops the f32 norm intermediates whose HBM
     # round-trips the round-5 trace attributed ~16% of the B=4 step to)
     remat_policy: str = "blocks"
+    # Differentiable Pallas conv routing for the TRAINING step
+    # (`VideoUNet.train_fused` -> ops/conv_vjp.py): the ResBlock
+    # GN->SiLU->conv3x3 halves run through the row-major fused kernel in
+    # forward AND backward(dgrad), eliminating the conv emitter's
+    # {3,0,2,1} relayout copies the round-5 trace attributed 16% of the
+    # B=4 step to. None = backend default (on for TPU, off for CPU).
+    train_fused: Optional[bool] = None
 
 
 class VideoClipDataset:
@@ -159,6 +166,13 @@ class VideoModelTrainer:
         unet = model.unet
         if getattr(unet, "fused", False):
             unet = unet.clone(fused=False)
+        train_fused = self.cfg.train_fused
+        if train_fused is None:
+            # measured on-chip before flipping this default — see PERF.md
+            # round 5 ("differentiable fused conv")
+            train_fused = False
+        if train_fused and hasattr(unet, "train_fused"):
+            unet = unet.clone(train_fused=True)
         if self.cfg.use_checkpoint:
             unet = unet.clone(
                 use_checkpoint=True, remat_policy=self.cfg.remat_policy
