@@ -35,6 +35,8 @@ import tempfile
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 # name -> env overrides; "unfused" is the ground truth (plain XLA convs,
 # no Pallas anywhere in the forward)
@@ -242,17 +244,107 @@ def verify_train():
     sys.exit(0 if passed else 1)
 
 
+def verify_train_fused():
+    """Round-5 extension: gate the DIFFERENTIABLE fused-conv path
+    (`VideoUNet.train_fused` -> ops/conv_vjp.py) on the real chip. The
+    CPU tests validate the custom_vjp in interpret mode; Mosaic-compiled
+    numerics (and the flipped-weight dgrad kernel) are only exercised
+    here. Loss and every parameter gradient of a small-but-eligible
+    (128-channel) video U-Net must match the plain-XLA path to
+    bf16-formulation tolerance; a pad-row/flip bug would blow the cosine
+    or the norm ratio apart."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2a_tpu.models.video_unet import VideoUNet
+    from v2a_tpu.ops.gaussian_diffusion import GaussianDiffusion
+    from v2a_tpu.ops.schedules import DiffusionSchedule
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+    kw = dict(
+        in_channels=6, model_channels=128, out_channels=3,
+        num_res_blocks=2, attention_resolutions=(8,),
+        channel_mult=(1, 2), num_head_channels=32,
+        task_token_dim=512, dtype=dt, fused=False,
+    )
+    diffusion = GaussianDiffusion(
+        schedule=DiffusionSchedule.create(100, "cosine"),
+        objective="pred_v",
+    )
+    b, f, hw = 2, 3, 32
+    rs = np.random.RandomState(0)
+    video = jnp.asarray(rs.rand(b, f, hw, hw, 3), jnp.float32)
+    x_cond = jnp.asarray(rs.rand(b, 1, hw, hw, 3) * 2 - 1, jnp.float32)
+    emb = jnp.asarray(rs.randn(b, 16, 512) * 0.1, jnp.float32)
+    t = jnp.asarray([7, 61], jnp.int32)
+
+    def grads_for(train_fused):
+        unet = VideoUNet(**kw, train_fused=train_fused)
+        params = jax.jit(
+            lambda r: unet.init(
+                r, jnp.zeros((1, f, hw, hw, 6)),
+                jnp.zeros((1,), jnp.int32), jnp.zeros((1, 16, 512)),
+            )
+        )(jax.random.PRNGKey(0))
+
+        def loss_fn(p):
+            return diffusion.p_losses(
+                lambda x, tt, e: unet.apply(p, x, tt, e),
+                jax.random.PRNGKey(1), video, x_cond, emb, t=t,
+            )
+
+        loss, g = jax.jit(jax.value_and_grad(loss_fn))(params)
+        return float(loss), jax.tree_util.tree_map(np.asarray, g)
+
+    loss0, g0 = grads_for(False)
+    loss1, g1 = grads_for(True)
+
+    worst_cos, worst_leaf, worst_ratio = 1.0, None, 1.0
+    for (p0, a), (_, bb) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+    ):
+        a = np.asarray(a, np.float64).ravel()
+        bb = np.asarray(bb, np.float64).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(bb)
+        if na < 1e-12 and nb < 1e-12:
+            continue
+        cos = float(a @ bb / max(na * nb, 1e-30))
+        ratio = float(max(na, nb) / max(min(na, nb), 1e-30))
+        if cos < worst_cos:
+            worst_cos, worst_leaf = cos, jax.tree_util.keystr(p0)
+        worst_ratio = max(worst_ratio, ratio)
+    dloss = abs(loss0 - loss1) / max(abs(loss0), 1e-9)
+    passed = worst_cos > 0.999 and worst_ratio < 1.02 and dloss < 2e-2
+    print(json.dumps({
+        "train_fused_grad_gate": {
+            "loss_plain": loss0, "loss_train_fused": loss1,
+            "rel_loss_diff": dloss,
+            "worst_grad_cosine": worst_cos, "worst_leaf": worst_leaf,
+            "worst_grad_norm_ratio": worst_ratio,
+            "pass": passed,
+        }
+    }, indent=2))
+    sys.exit(0 if passed else 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", default=None)
     ap.add_argument("--train", action="store_true",
                     help="run the train-step optimizer numerics gate only")
+    ap.add_argument("--train-fused", action="store_true",
+                    help="run the differentiable fused-conv grad gate only")
     args = ap.parse_args()
     if args.worker:
         worker(args.worker)
         return
     if args.train:
         verify_train()
+        return
+    if args.train_fused:
+        verify_train_fused()
         return
 
     tmp = tempfile.mkdtemp(prefix="verify_onchip_")
