@@ -864,6 +864,18 @@ def trace_vtrain(topk=40, batch=4, policy="off", chain=3):
     same per-bucket rigor the sampler got."""
     import importlib.util
 
+    # main() zeroes the spatial2 flags for the forward ablations; the
+    # TRAIN trace must run the shipped eligibility (the train_fused
+    # routing shares `_spatial2_eligible` — with MIN_CH=0 every level
+    # silently falls back to the plain path and the trace measures the
+    # wrong program)
+    video_unet.PERF_PALLAS_SPATIAL2_MIN_CH = int(
+        os.environ.get("V2A_SPATIAL2_MIN_CH", "128"))
+    video_unet.PERF_PALLAS_SPATIAL2_MAX_S = int(
+        os.environ.get("V2A_SPATIAL2_MAX_S", "16384"))
+    video_unet.PERF_SKIP1X1_DOT = (
+        os.environ.get("V2A_SKIP1X1_DOT", "1") == "1")
+
     spec = importlib.util.spec_from_file_location(
         "bench_video_train",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -872,10 +884,15 @@ def trace_vtrain(topk=40, batch=4, policy="off", chain=3):
     bvt = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bvt)
 
-    use_ckpt = policy != "off"
+    train_fused = policy.startswith("tfused")
+    remat = policy.split("-", 1)[1] if "-" in policy else (
+        "blocks" if not train_fused else "off")
+    use_ckpt = (policy != "off" and not train_fused) or (
+        train_fused and remat != "off")
     chain_fn, state, batch_data = bvt.build_step(
         use_ckpt, batch, 128, 128, chain,
-        remat_policy=policy if use_ckpt else "blocks",
+        remat_policy=remat if use_ckpt else "blocks",
+        train_fused=train_fused,
     )
     rng = jax.random.PRNGKey(1)
     holder = {"state": state}

@@ -168,9 +168,21 @@ class VideoModelTrainer:
             unet = unet.clone(fused=False)
         train_fused = self.cfg.train_fused
         if train_fused is None:
-            # measured on-chip before flipping this default — see PERF.md
-            # round 5 ("differentiable fused conv")
-            train_fused = False
+            # Measured ladder (PERF.md round 5, on-chip chain medians at
+            # release size): B<=4 plain 301.3 -> tfused 267.0 ms/step
+            # (+12.8%); at B>=8 the tfused program (with or without block
+            # remat) reproducibly kills the remote TPU compile helper
+            # (HTTP 500 INTERNAL — the same toolchain blow-up class as
+            # "levels"/"mxu" remat at B>=8), so the B>=8 regime stays
+            # plain + blocks remat.
+            # mesh runs keep the plain path until Pallas-under-pjit
+            # partitioning is validated on real multi-chip hardware
+            train_fused = (
+                jax.default_backend() not in ("cpu",)
+                and mesh is None
+                and self.cfg.batch_size <= 4
+                and not self.cfg.use_checkpoint
+            )
         if train_fused and hasattr(unet, "train_fused"):
             unet = unet.clone(train_fused=True)
         if self.cfg.use_checkpoint:
