@@ -182,7 +182,45 @@ def main():
         except Exception as e:  # noqa: BLE001
             result["explore_cycle_s"] = None
             result["explore_cycle_error"] = repr(e)
+        # flush the three BASELINE.json metrics before the (newest, most
+        # compile-expensive) video-train secondary: last full line wins
+        print(json.dumps(result), flush=True)
         emitted_secondary = True
+        # video TRAIN step (round 5): B=4 release size with the shipped
+        # train_fused path (PERF.md: 301.3 -> 267.0 ms/step)
+        try:
+            bvt = _load("bench_video_train")
+            if on_tpu:
+                chain = 6
+                chainf, state, bd = bvt.build_step(
+                    False, 4, 128, 128, chain, train_fused=True)
+                vb = 4
+            else:
+                chain = 2
+                chainf, state, bd = bvt.build_step(False, 2, 32, 32, chain)
+                vb = 2
+            rngk = jax.random.PRNGKey(5)
+            state, loss = chainf(state, rngk, bd)
+            np.asarray(loss)  # compile + warm
+            vt = []
+            for k in range(3 if on_tpu else 1):
+                t0 = time.perf_counter()
+                state, loss = chainf(state, jax.random.fold_in(rngk, k), bd)
+                np.asarray(loss)
+                vt.append(time.perf_counter() - t0)
+            dtv = sorted(vt)[len(vt) // 2] / chain
+            result["video_train_steps_per_s"] = round(1.0 / dtv, 3)
+            result["video_train_detail"] = {
+                "metric": "video_train_steps_per_sec_b4_tfused",
+                "value": round(1.0 / dtv, 3),
+                "step_ms": round(dtv * 1e3, 1),
+                "train_frames_per_sec": round(vb * FRAMES / dtv, 1),
+                "unit": "steps/s/chip",
+                "chain_s": [round(s, 3) for s in vt],
+            }
+        except Exception as e:  # noqa: BLE001
+            result["video_train_steps_per_s"] = None
+            result["video_train_error"] = repr(e)
 
     if emitted_secondary:
         print(json.dumps(result), flush=True)

@@ -124,3 +124,81 @@ def test_video_unet_train_fused_grads_match():
             np.asarray(t0), np.asarray(t1), rtol=5e-4, atol=5e-5,
             err_msg=jax.tree_util.keystr(p0),
         )
+
+
+@pytest.mark.parametrize("has_affine", [False, True])
+@pytest.mark.parametrize("hw", [(8, 8), (16, 16)])
+def test_wgrad_pallas_matches_reference(has_affine, hw):
+    """The Pallas band-accumulation wgrad (`wgrad_conv3x3`) routed through
+    both custom_vjp variants must reproduce XLA's kernel gradient."""
+    from v2a_tpu.ops.conv_vjp import plain_conv3x3
+
+    h, w = hw
+    x, kernel, bias, a, b = _problem(h=h, w=w)
+
+    if has_affine:
+        def loss_fused(args):
+            y = affine_silu_conv3x3(
+                *args, interpret=True, wgrad_pallas=True
+            )
+            return jnp.sum(jnp.sin(y))
+
+        def loss_ref(args):
+            return jnp.sum(jnp.sin(affine_silu_conv3x3_reference(*args)))
+
+        args = (x, kernel, bias, a, b)
+        names = ("dx", "dkernel", "dbias", "da", "db")
+    else:
+        def loss_fused(args):
+            y = plain_conv3x3(*args, interpret=True, wgrad_pallas=True)
+            return jnp.sum(jnp.sin(y))
+
+        def loss_ref(args):
+            x_, k_, b_ = args
+            y = jax.lax.conv_general_dilated(
+                x_, k_, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b_
+            return jnp.sum(jnp.sin(y))
+
+        args = (x, kernel, bias)
+        names = ("dx", "dkernel", "dbias")
+
+    v0, g0 = jax.value_and_grad(loss_ref)(args)
+    v1, g1 = jax.value_and_grad(loss_fused)(args)
+    np.testing.assert_allclose(v0, v1, rtol=2e-5, atol=2e-5)
+    for name, t0, t1 in zip(names, g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(t0), np.asarray(t1), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("dgrad_pallas", [False, True])
+def test_plain_conv_vjp_matches_reference(dgrad_pallas):
+    """No-affine variant (the Upsample3D conv routing)."""
+    from v2a_tpu.ops.conv_vjp import plain_conv3x3
+
+    x, kernel, bias, _, _ = _problem(h=16, w=16)
+
+    def loss_fused(args):
+        y = plain_conv3x3(*args, dgrad_pallas=dgrad_pallas, interpret=True)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(args):
+        x_, k_, b_ = args
+        y = jax.lax.conv_general_dilated(
+            x_, k_, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b_
+        return jnp.sum(jnp.sin(y))
+
+    args = (x, kernel, bias)
+    v0, g0 = jax.value_and_grad(loss_ref)(args)
+    v1, g1 = jax.value_and_grad(loss_fused)(args)
+    np.testing.assert_allclose(v0, v1, rtol=2e-5, atol=2e-5)
+    for name, t0, t1 in zip(("dx", "dkernel", "dbias"), g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(t0), np.asarray(t1), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )

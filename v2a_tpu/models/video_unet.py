@@ -68,6 +68,10 @@ PERF_PALLAS_SPATIAL = False
 # conv through the same Pallas row-major kernel (plain-conv mode, flipped
 # weights) instead of XLA's bwd conv — see ops/conv_vjp.py.
 PERF_TRAIN_DGRAD_PALLAS = os.environ.get("V2A_TRAIN_DGRAD_PALLAS", "1") == "1"
+# ... and the weight-gradient through the Pallas band-accumulation kernel
+# (`wgrad_conv3x3` — recomputes the affine+SiLU in-kernel so neither conv
+# operand materializes in, nor relayouts through, HBM).
+PERF_TRAIN_WGRAD_PALLAS = os.environ.get("V2A_TRAIN_WGRAD_PALLAS", "0") == "1"
 # Express the fused temporal conv as an XLA 2D convolution with a (k, 1)
 # kernel over the (B, F, H*W, C) view. Every op in the ResBlock is then an
 # XLA conv sharing the {3,0,2,1} operand layout — no Pallas boundary, no
@@ -596,7 +600,6 @@ class PseudoConv3d(nn.Module):
             )
             use_train_fused = (
                 self.train_fused and not self.fused
-                and pre_affine is not None
                 and _spatial2_eligible(
                     self.features, [c], h * w, k, self.spatial_strides
                 )
@@ -608,23 +611,34 @@ class PseudoConv3d(nn.Module):
                     "pre_affine requires the spatial2-eligible fused path"
                 )
             if use_train_fused:
-                from v2a_tpu.ops.conv_vjp import affine_silu_conv3x3
+                from v2a_tpu.ops.conv_vjp import (
+                    affine_silu_conv3x3, plain_conv3x3,
+                )
 
                 kernel, bias2 = _Conv2DParams(
                     self.features, k, self.zero_init, name="spatial_conv"
                 )(c)
-                a0, b0 = pre_affine  # (B, C) f32
-                af = jnp.broadcast_to(
-                    a0[:, None, :], (b, f, c)
-                ).reshape(b * f, c)
-                bf_ = jnp.broadcast_to(
-                    b0[:, None, :], (b, f, c)
-                ).reshape(b * f, c)
-                y = affine_silu_conv3x3(
-                    y.astype(self.dtype), kernel, bias2, af, bf_,
-                    dgrad_pallas=PERF_TRAIN_DGRAD_PALLAS,
-                    interpret=jax.default_backend() == "cpu",
-                )
+                if pre_affine is not None:
+                    a0, b0 = pre_affine  # (B, C) f32
+                    af = jnp.broadcast_to(
+                        a0[:, None, :], (b, f, c)
+                    ).reshape(b * f, c)
+                    bf_ = jnp.broadcast_to(
+                        b0[:, None, :], (b, f, c)
+                    ).reshape(b * f, c)
+                    y = affine_silu_conv3x3(
+                        y.astype(self.dtype), kernel, bias2, af, bf_,
+                        dgrad_pallas=PERF_TRAIN_DGRAD_PALLAS,
+                        interpret=jax.default_backend() == "cpu",
+                        wgrad_pallas=PERF_TRAIN_WGRAD_PALLAS,
+                    )
+                else:
+                    y = plain_conv3x3(
+                        y.astype(self.dtype), kernel, bias2,
+                        dgrad_pallas=PERF_TRAIN_DGRAD_PALLAS,
+                        interpret=jax.default_backend() == "cpu",
+                        wgrad_pallas=PERF_TRAIN_WGRAD_PALLAS,
+                    )
             elif use_spatial2:
                 from v2a_tpu.ops.resblock_kernels import fused_affine_conv3x3
 
@@ -1530,6 +1544,7 @@ class Upsample3D(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
+    train_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -1559,7 +1574,8 @@ class Upsample3D(nn.Module):
             # runs in padded-stream form (identity pre-affine)
             x = pad_stream(x)
         return PseudoConv3d(
-            self.features, 3, dtype=self.dtype, fused=self.fused, name="conv"
+            self.features, 3, dtype=self.dtype, fused=self.fused,
+            train_fused=self.train_fused, name="conv"
         )(x, want_stats=want_stats)
 
 
@@ -1814,7 +1830,8 @@ class VideoUNet(nn.Module):
                 if level and i == self.num_res_blocks:
                     up_hw = hh * ww * 4
                     h = Upsample3D(
-                        ch, self.dtype, fused, name=f"upsample_{level}"
+                        ch, self.dtype, fused, train_fused=tfused,
+                        name=f"upsample_{level}"
                     )(
                         h, want_stats=fused,
                         padded_out=fused

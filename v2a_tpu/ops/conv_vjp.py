@@ -69,7 +69,7 @@ def _conv_fwd_xla(s_op, kernel):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def affine_silu_conv3x3(
     x: jax.Array,
     kernel: jax.Array,
@@ -78,6 +78,7 @@ def affine_silu_conv3x3(
     b: jax.Array,
     dgrad_pallas: bool = True,
     interpret: bool = False,
+    wgrad_pallas: bool = False,
 ) -> jax.Array:
     """y = conv3x3_same(silu(a*x + b), kernel) + bias, Pallas forward.
 
@@ -92,18 +93,27 @@ def affine_silu_conv3x3(
     )
 
 
-def _fwd(x, kernel, bias, a, b, dgrad_pallas, interpret):
+def _fwd(x, kernel, bias, a, b, dgrad_pallas, interpret, wgrad_pallas):
     y = fused_affine_conv3x3(
         x, kernel, bias, a=a, b=b, silu=True, interpret=interpret
     )
     return y, (x, kernel, a, b)
 
 
-def _bwd(dgrad_pallas, interpret, res, g):
+def _bwd(dgrad_pallas, interpret, wgrad_pallas, res, g):
     x, kernel, a, b = res
     xf, z, s, sprime = _silu_fwd_bwd(x, a, b)
     s_op = s.astype(x.dtype)  # the forward's effective conv operand
 
+    if wgrad_pallas:
+        # wgrad through the Pallas band kernel: recomputes silu(a*x+b)
+        # IN-KERNEL from the raw input band (s never hits HBM for this
+        # consumer, and neither operand pays the {3,0,2,1} relayout).
+        from v2a_tpu.ops.resblock_kernels import wgrad_conv3x3
+
+        dkernel = wgrad_conv3x3(
+            x, g, a=a, b=b, silu=True, interpret=interpret,
+        )
     if dgrad_pallas:
         # dgrad is itself a stride-1 SAME 3x3 conv: flip taps, swap in/out
         # channels — run it through the same row-major Pallas kernel
@@ -113,14 +123,17 @@ def _bwd(dgrad_pallas, interpret, res, g):
         ds = fused_affine_conv3x3(
             g, wt, jnp.zeros((c,), kernel.dtype), interpret=interpret
         )
-        # wgrad via XLA's bwd conv (output is the tiny (3,3,C,D) tensor)
-        _, wgrad = jax.vjp(
-            lambda k_: _conv_fwd_xla(s_op, k_), kernel
-        )
-        (dkernel,) = wgrad(g.astype(s_op.dtype))
+        if not wgrad_pallas:
+            # wgrad via XLA's bwd conv (output is the tiny (3,3,C,D) tensor)
+            _, wgrad = jax.vjp(
+                lambda k_: _conv_fwd_xla(s_op, k_), kernel
+            )
+            (dkernel,) = wgrad(g.astype(s_op.dtype))
     else:
         _, conv_vjp = jax.vjp(_conv_fwd_xla, s_op, kernel)
-        ds, dkernel = conv_vjp(g.astype(s_op.dtype))
+        ds, dkernel_xla = conv_vjp(g.astype(s_op.dtype))
+        if not wgrad_pallas:
+            dkernel = dkernel_xla
 
     dz = ds.astype(jnp.float32) * sprime
     dx = (dz * a[:, None, None, :]).astype(x.dtype)
@@ -137,6 +150,55 @@ def _bwd(dgrad_pallas, interpret, res, g):
 
 
 affine_silu_conv3x3.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def plain_conv3x3(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    dgrad_pallas: bool = True,
+    interpret: bool = False,
+    wgrad_pallas: bool = False,
+) -> jax.Array:
+    """y = conv3x3_same(x, kernel) + bias with the Pallas row-major kernel
+    in forward and (optionally) dgrad — the no-affine variant for convs
+    with no preceding norm (the Upsample3D conv, whose {3,0,2,1} relayout
+    copies at 256ch/128² are the largest single remaining copies in the
+    round-5 tfused trace). Same eligibility gate as the affine form."""
+    return fused_affine_conv3x3(x, kernel, bias, interpret=interpret)
+
+
+def _plain_fwd(x, kernel, bias, dgrad_pallas, interpret, wgrad_pallas):
+    y = fused_affine_conv3x3(x, kernel, bias, interpret=interpret)
+    return y, (x, kernel)
+
+
+def _plain_bwd(dgrad_pallas, interpret, wgrad_pallas, res, g):
+    x, kernel = res
+    if wgrad_pallas:
+        from v2a_tpu.ops.resblock_kernels import wgrad_conv3x3
+
+        dkernel = wgrad_conv3x3(x, g, interpret=interpret)
+    if dgrad_pallas:
+        wt = kernel[::-1, ::-1].transpose(0, 1, 3, 2)  # (3, 3, D, C)
+        c = kernel.shape[2]
+        dx = fused_affine_conv3x3(
+            g, wt, jnp.zeros((c,), kernel.dtype), interpret=interpret
+        )
+        if not wgrad_pallas:
+            _, wgrad = jax.vjp(lambda k_: _conv_fwd_xla(x, k_), kernel)
+            (dkernel,) = wgrad(g.astype(x.dtype))
+    else:
+        _, conv_vjp = jax.vjp(_conv_fwd_xla, x, kernel)
+        dx, dkernel_xla = conv_vjp(g.astype(x.dtype))
+        if not wgrad_pallas:
+            dkernel = dkernel_xla
+    dbias = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    return dx.astype(x.dtype), dkernel.astype(kernel.dtype), dbias
+
+
+plain_conv3x3.defvjp(_plain_fwd, _plain_bwd)
 
 
 def affine_silu_conv3x3_reference(

@@ -3221,3 +3221,177 @@ def winograd_conv3x3(
         ),
         interpret=interpret,
     )(xp, wt, bias.reshape(1, d))
+
+
+# -- wgrad of the (affine+SiLU+)3x3 conv (training backward, round 5) ---------
+#
+# dW[di,dj,ci,co] = sum_{n,h,w} s[n, h+di-1, w+dj-1, ci] * g[n, h, w, co]
+# where s = silu(a*x + b) is the forward's conv operand, recomputed
+# IN-KERNEL from the raw (pre-norm) input band — s never materializes in
+# HBM, and the wgrad pays neither the {3,0,2,1} relayout of s nor of g
+# that XLA's bwd conv forces (PERF.md round-5 tfused trace: the
+# (f32[], bf16[3,3,C,D]) wgrad fusions and their operand relayouts are the
+# largest remaining conv bucket).
+
+
+def _wgrad3x3_kernel(
+    *refs, th, h_out, w_out, cin, cout_blk, has_affine, silu,
+):
+    idx = 0
+    x_ref = refs[idx]; idx += 1       # (1, th+2, Wp, Cin) Element band
+    a_ref = b_ref = None
+    if has_affine:
+        a_ref = refs[idx]; idx += 1   # (N, Cin) float32, full
+        b_ref = refs[idx]; idx += 1
+    g_ref = refs[idx]; idx += 1       # (1, th, W, CoutBlk)
+    o_ref = refs[idx]                 # (9*Cin, CoutBlk) fp32 accumulator
+
+    n = pl.program_id(1)
+    i = pl.program_id(2)
+
+    x = x_ref[0]  # (th+2, Wp, Cin)
+    hp_rows = x.shape[0]
+    wp = x.shape[1]
+    xf = x.astype(jnp.float32)
+    if has_affine:
+        n_rows = a_ref.shape[0]
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1) == n
+        ).astype(jnp.float32)
+        a = jax.lax.dot_general(
+            sel, a_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, Cin)
+        bsh = jax.lax.dot_general(
+            sel, b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        xf = xf * a[0][None, None, :] + bsh[0][None, None, :]
+        if silu:
+            xf = xf * jax.nn.sigmoid(xf)
+        # the affine turns the zero padding into silu(b) != 0 — re-zero
+        # (global padded row in [1, H], col in [1, W])
+        rr = (
+            jax.lax.broadcasted_iota(jnp.int32, (hp_rows, wp, 1), 0)
+            + i * th
+        )
+        cc = jax.lax.broadcasted_iota(jnp.int32, (hp_rows, wp, 1), 1)
+        keep = (rr >= 1) & (rr <= h_out) & (cc >= 1) & (cc <= w_out)
+        xf = jnp.where(keep, xf, 0.0)
+    xb = xf.astype(x_ref.dtype)
+
+    g = g_ref[0].reshape(th * w_out, cout_blk)
+
+    @pl.when(jnp.logical_and(n == 0, i == 0))
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    for dj in range(3):
+        sh = xb[:, dj:dj + w_out, :]  # (th+2, W, Cin) — one shift copy
+        for di in range(3):
+            t = di * 3 + dj
+            xs = sh[di:di + th].reshape(th * w_out, cin)
+            part = jax.lax.dot_general(
+                xs, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Cin, CoutBlk)
+            o_ref[t * cin:(t + 1) * cin] = (
+                o_ref[t * cin:(t + 1) * cin] + part
+            )
+
+
+def wgrad_band_rows(h: int, w: int, c: int, d_blk: int,
+                    budget_bytes: int = 11 * 1024 * 1024) -> int:
+    """Rows per band: x band (bf16 + f32 affine temp) + 3 shifts + g band
+    + the fp32 (9C, Dblk) accumulator + double-buffered IO within budget."""
+    wp = ((w + 2 + 7) // 8) * 8
+    acc = 9 * c * d_blk * 4
+    th = h
+
+    def cost(t):
+        x_band = (t + 2) * wp * c * (2 + 4)      # bf16 + f32 temp
+        shifts = 3 * (t + 2) * w * c * 2
+        g_band = t * w * d_blk * 2
+        io = 2 * ((t + 2) * wp * c * 2 + t * w * d_blk * 2)
+        return acc + x_band + shifts + g_band + io
+
+    while th > 8 and cost(th) > budget_bytes:
+        th //= 2
+    while h % th:
+        th //= 2
+    return max(th, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("silu", "interpret", "cout_blk", "tile_h"),
+)
+def wgrad_conv3x3(
+    x: jax.Array,
+    g: jax.Array,
+    a: Optional[jax.Array] = None,
+    b: Optional[jax.Array] = None,
+    silu: bool = False,
+    cout_blk: Optional[int] = None,
+    tile_h: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """dW of y = conv3x3_same(silu(a*x + b)) w.r.t. the (3, 3, C, D) kernel.
+
+    x: (N, H, W, C) raw pre-norm input; g: (N, H, W, D) output cotangent;
+    a, b: optional (N, C) float32 affine (None = plain conv wgrad).
+    Returns (3, 3, C, D) float32. Same 128-multiple channel eligibility as
+    `fused_affine_conv3x3`.
+    """
+    n, h, w, c = x.shape
+    d = g.shape[-1]
+    if g.shape[:3] != (n, h, w):
+        raise ValueError(f"g {g.shape} vs x {x.shape}")
+    wp = ((w + 2 + 7) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    has_affine = a is not None
+
+    if cout_blk is None:
+        cout_blk = d if d <= 256 else 128
+    if d % cout_blk:
+        raise ValueError(f"cout_blk {cout_blk} must divide D={d}")
+    th = tile_h or wgrad_band_rows(h, w, c, cout_blk)
+    if h % th:
+        raise ValueError(f"tile_h {th} must divide H={h}")
+
+    from jax._src.pallas import core as _pc
+
+    E = _pc.Element
+    in_specs = [
+        pl.BlockSpec(
+            (E(1), E(th + 2), E(wp), E(c)),
+            lambda j, nn, i: (nn, i * th, 0, 0),
+        )
+    ]
+    args = [xp]
+    if has_affine:
+        in_specs.append(pl.BlockSpec((n, c), lambda j, nn, i: (0, 0)))
+        in_specs.append(pl.BlockSpec((n, c), lambda j, nn, i: (0, 0)))
+        args += [a.astype(jnp.float32), b.astype(jnp.float32)]
+    in_specs.append(
+        pl.BlockSpec((1, th, w, cout_blk), lambda j, nn, i: (nn, i, 0, j))
+    )
+    args.append(g)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _wgrad3x3_kernel, th=th, h_out=h, w_out=w, cin=c,
+            cout_blk=cout_blk, has_affine=has_affine, silu=silu,
+        ),
+        grid=(d // cout_blk, n, h // th),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((9 * c, cout_blk), lambda j, nn, i: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((9 * c, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            # j indexes disjoint output blocks (parallel); the accumulation
+            # runs across nn and i, which must stay sequential per block
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")
+        ),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(3, 3, c, d)
