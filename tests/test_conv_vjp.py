@@ -126,6 +126,44 @@ def test_video_unet_train_fused_grads_match():
         )
 
 
+def test_tconv_dot_grads_match(monkeypatch):
+    """The tap-dot temporal conv (PERF_TRAIN_TCONV_DOT) must produce the
+    same loss and gradients as the transpose+conv1d form on the identical
+    param tree."""
+    import v2a_tpu.models.video_unet as vu
+
+    kw = dict(
+        in_channels=6, model_channels=128, out_channels=3,
+        num_res_blocks=1, attention_resolutions=(),
+        channel_mult=(1, 2), num_head_channels=32,
+        task_token_dim=64, dtype=jnp.float32, fused=False,
+        train_fused=True,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 3, 16, 16, 6), jnp.float32)
+    t = jnp.array([3], jnp.int32)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 64), jnp.float32)
+    model = vu.VideoUNet(**kw)
+    params = model.init(jax.random.PRNGKey(2), x, t, emb)
+
+    def f(p):
+        return jnp.mean(model.apply(p, x, t, emb) ** 2)
+
+    monkeypatch.setattr(vu, "PERF_TRAIN_TCONV_DOT", False)
+    v0, g0 = jax.value_and_grad(f)(params)
+    monkeypatch.setattr(vu, "PERF_TRAIN_TCONV_DOT", True)
+    v1, g1 = jax.value_and_grad(f)(params)
+    np.testing.assert_allclose(v0, v1, rtol=1e-5, atol=1e-7)
+    for (p0, t0), (_, t1) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(t0), np.asarray(t1), rtol=5e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(p0),
+        )
+
+
 @pytest.mark.parametrize("has_affine", [False, True])
 @pytest.mark.parametrize("hw", [(8, 8), (16, 16)])
 def test_wgrad_pallas_matches_reference(has_affine, hw):

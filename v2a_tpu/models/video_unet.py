@@ -72,6 +72,18 @@ PERF_TRAIN_DGRAD_PALLAS = os.environ.get("V2A_TRAIN_DGRAD_PALLAS", "1") == "1"
 # (`wgrad_conv3x3` — recomputes the affine+SiLU in-kernel so neither conv
 # operand materializes in, nor relayouts through, HBM).
 PERF_TRAIN_WGRAD_PALLAS = os.environ.get("V2A_TRAIN_WGRAD_PALLAS", "0") == "1"
+# Min folded spatial size (H*W) for the Pallas wgrad routing: the relayout
+# copies it saves scale with the activation footprint, so the win lives at
+# the wide shallow levels; scoping it also bounds the count of distinct
+# Mosaic kernels per program (the remote compile helper dies on very large
+# programs — the levels-remat failure class, CLAUDE.md round 4).
+PERF_TRAIN_WGRAD_MIN_S = int(os.environ.get("V2A_TRAIN_WGRAD_MIN_S", "0"))
+# In the train-fused path, express the temporal conv as k tap DOTS on the
+# row-major (B, F, H, W, C) tensor (zero-pad F, shift, (C,D) matmul per
+# tap) instead of the transpose+conv1d form: no frame transposes fwd or
+# bwd, no conv emitter — autodiff gives tap-dot gradients that stay
+# row-major next to the Pallas conv kernels. Param tree identical.
+PERF_TRAIN_TCONV_DOT = os.environ.get("V2A_TRAIN_TCONV_DOT", "0") == "1"
 # Express the fused temporal conv as an XLA 2D convolution with a (k, 1)
 # kernel over the (B, F, H*W, C) view. Every op in the ResBlock is then an
 # XLA conv sharing the {3,0,2,1} operand layout — no Pallas boundary, no
@@ -618,6 +630,10 @@ class PseudoConv3d(nn.Module):
                 kernel, bias2 = _Conv2DParams(
                     self.features, k, self.zero_init, name="spatial_conv"
                 )(c)
+                wgrad_here = (
+                    PERF_TRAIN_WGRAD_PALLAS
+                    and h * w >= PERF_TRAIN_WGRAD_MIN_S
+                )
                 if pre_affine is not None:
                     a0, b0 = pre_affine  # (B, C) f32
                     af = jnp.broadcast_to(
@@ -630,14 +646,14 @@ class PseudoConv3d(nn.Module):
                         y.astype(self.dtype), kernel, bias2, af, bf_,
                         dgrad_pallas=PERF_TRAIN_DGRAD_PALLAS,
                         interpret=jax.default_backend() == "cpu",
-                        wgrad_pallas=PERF_TRAIN_WGRAD_PALLAS,
+                        wgrad_pallas=wgrad_here,
                     )
                 else:
                     y = plain_conv3x3(
                         y.astype(self.dtype), kernel, bias2,
                         dgrad_pallas=PERF_TRAIN_DGRAD_PALLAS,
                         interpret=jax.default_backend() == "cpu",
-                        wgrad_pallas=PERF_TRAIN_WGRAD_PALLAS,
+                        wgrad_pallas=wgrad_here,
                     )
             elif use_spatial2:
                 from v2a_tpu.ops.resblock_kernels import fused_affine_conv3x3
@@ -713,7 +729,29 @@ class PseudoConv3d(nn.Module):
             self.fused and has_temporal and self.features % 128 == 0
             and self.features >= PERF_FUSED_MIN_CH
         )
-        if has_temporal and not use_fused:
+        if (
+            has_temporal and not use_fused
+            and PERF_TRAIN_TCONV_DOT and self.train_fused
+        ):
+            # tap-dot form for training (see PERF_TRAIN_TCONV_DOT above):
+            # out[fo] = sum_t y[fo + t - k//2] @ W[t] + bias, zero padded.
+            kernel, tbias = _TemporalConvParams(
+                self.features, k, name="temporal_conv"
+            )()
+            ypad = jnp.pad(
+                y, ((0, 0), (k // 2, k // 2), (0, 0), (0, 0), (0, 0))
+            )
+            out = None
+            for t in range(k):
+                part = jax.lax.dot_general(
+                    ypad[:, t:t + f].astype(self.dtype),
+                    kernel[t].astype(self.dtype),
+                    (((4,), (0,)), ((), ())),
+                    preferred_element_type=self.dtype,
+                )
+                out = part if out is None else out + part
+            y = out + tbias.astype(self.dtype)
+        elif has_temporal and not use_fused:
             # temporal conv over F with spatial dims folded into the batch
             # (`nn.py:74-84`). Measured at the production shape
             # (8,7,128,128,128) on a v5e chip: this transpose+conv1d form
