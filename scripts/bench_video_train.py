@@ -36,6 +36,20 @@ from v2a_tpu.train.train_state import (
 FRAMES, TOKENS = 7, 16
 
 
+def parse_policy(policy: str):
+    """(train_fused, use_ckpt, remat_arg) from a policy string.
+
+    "off" | "blocks" | "levels" | "mxu" — plain-XLA step, that remat
+    policy (use_ckpt off for "off"); "tfused[-<remat>]" — differentiable
+    Pallas conv routing (VideoUNet.train_fused -> ops/conv_vjp.py),
+    optionally combined with a remat policy, e.g. "tfused-blocks".
+    """
+    train_fused = policy.startswith("tfused")
+    remat = policy.split("-", 1)[1] if "-" in policy else (
+        "off" if (train_fused or policy == "off") else policy)
+    return train_fused, remat != "off", remat
+
+
 def build_step(use_checkpoint: bool, batch: int, hw: int, mc: int, chain: int,
                remat_policy: str = "blocks", train_fused: bool = False):
     full = mc >= 128
@@ -127,14 +141,7 @@ def main():
         configs = [("off", 2), ("blocks", 2), ("levels", 2)]
 
     for policy, batch in configs:
-        # "tfused[-<remat>]": differentiable Pallas conv routing
-        # (VideoUNet.train_fused -> ops/conv_vjp.py), optionally combined
-        # with a remat policy, e.g. "tfused-blocks".
-        train_fused = policy.startswith("tfused")
-        remat = policy.split("-", 1)[1] if "-" in policy else (
-            "blocks" if not train_fused else "off")
-        use_ckpt = (policy != "off" and not train_fused) or (
-            train_fused and remat != "off")
+        train_fused, use_ckpt, remat = parse_policy(policy)
         label = {"metric": "video_train_steps_per_sec",
                  "use_checkpoint": use_ckpt, "remat_policy": policy,
                  "batch": batch, "unit": "steps/s/chip"}

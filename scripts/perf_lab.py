@@ -884,11 +884,7 @@ def trace_vtrain(topk=40, batch=4, policy="off", chain=3):
     bvt = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bvt)
 
-    train_fused = policy.startswith("tfused")
-    remat = policy.split("-", 1)[1] if "-" in policy else (
-        "blocks" if not train_fused else "off")
-    use_ckpt = (policy != "off" and not train_fused) or (
-        train_fused and remat != "off")
+    train_fused, use_ckpt, remat = bvt.parse_policy(policy)
     chain_fn, state, batch_data = bvt.build_step(
         use_ckpt, batch, 128, 128, chain,
         remat_policy=remat if use_ckpt else "blocks",

@@ -96,6 +96,24 @@ def test_decode_frame_inverts_render():
     assert not st["gripper_closed"]
 
 
+def test_decode_frame_bright_backgrounds():
+    """Regression: backgrounds 20+10*(task_idx%16) reach 120-170 for
+    task_idx%16 >= 10; an absolute ch0 threshold classified the whole
+    background as the EE. Decode must invert the render for EVERY task
+    background and every EE height."""
+    from v2a_tpu.envs.fake import render_state
+
+    for task_idx in (74, 79, 65):  # bg 120, 170, 30
+        for z in (0.4, 0.46, 0.525, 0.8, 1.0):
+            ee = np.asarray([0.2, -0.1, z], np.float32)
+            obj = np.asarray([-0.2, 0.2, 0.46], np.float32)
+            img = render_state(task_idx, ee, obj, -1.0, 3, (32, 32))
+            st = decode_frame(img)
+            np.testing.assert_allclose(st["ee_pos"][:2], ee[:2], atol=0.05)
+            np.testing.assert_allclose(st["obj_pos"][:2], obj[:2], atol=0.05)
+            assert abs(st["ee_pos"][2] - z) < 0.02, (task_idx, z)
+
+
 @pytest.mark.slow
 def test_policy_learns_oracle_behavior():
     envs = FakeEnvList(

@@ -31,8 +31,15 @@ CFG = os.path.join(REPO, "v2a_tpu/config/fake/fake_learn.py")
 
 
 def _run(args, timeout):
+    # APPEND the repo to PYTHONPATH — clobbering it would drop the axon
+    # sitecustomize dir (CLAUDE.md: jax then dies with "Unable to
+    # initialize backend 'axon'" the moment a subprocess stops forcing cpu)
     env = dict(
-        os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
+        os.environ,
+        PYTHONPATH=os.pathsep.join(
+            p for p in (os.environ.get("PYTHONPATH", ""), REPO) if p
+        ),
+        JAX_PLATFORMS="cpu",
         PALLAS_AXON_POOL_IPS="",
     )
     proc = subprocess.run(
@@ -63,7 +70,8 @@ def _eval_suc_rate(workdir, epoch, eval_seed):
         with open(path) as f:
             results.append((os.path.getmtime(path), json.load(f)))
     assert results, "eval.py wrote no result JSON"
-    return sorted(results)[-1][1]["suc_rate"]
+    # key on mtime only: an mtime tie must not fall through to dict-<
+    return max(results, key=lambda r: r[0])[1]["suc_rate"]
 
 
 @pytest.mark.slow

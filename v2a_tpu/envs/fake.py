@@ -51,9 +51,11 @@ def render_state(
     # object: green square
     r, c = to_px(obj_pos)
     img[max(r - 2, 0) : r + 3, max(c - 2, 0) : c + 3, 1] = 230
-    # EE: red square whose intensity encodes height
+    # EE: red square whose intensity encodes height. Forced ODD so ch0
+    # always differs from the (even, 20 + 10k) background — the invariant
+    # `fake_oracle.decode_frame`'s EE mask rests on; costs <=1/160 of z.
     r, c = to_px(ee_pos)
-    shade = np.uint8(np.clip(120 + (ee_pos[2] - 0.4) * 160, 0, 255))
+    shade = np.uint8(np.clip(120 + (ee_pos[2] - 0.4) * 160, 0, 254)) | 1
     img[max(r - 2, 0) : r + 3, max(c - 2, 0) : c + 3, 0] = shade
     # gripper stripe: blue top row block when closed
     if gripper > 0:
@@ -107,12 +109,6 @@ class _FakeSim:
             "gripper": self.gripper,
             "t": self.t,
         }
-
-    def _to_px(self, pos) -> Tuple[int, int]:
-        h, w = self.img_hw
-        col = int((pos[0] + 0.5) / 1.0 * (w - 1))
-        row = int((pos[1] + 0.5) / 1.0 * (h - 1))
-        return np.clip(row, 0, h - 1), np.clip(col, 0, w - 1)
 
     def render(self, cam: str) -> np.ndarray:
         return render_state(

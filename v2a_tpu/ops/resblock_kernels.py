@@ -3347,6 +3347,13 @@ def wgrad_conv3x3(
     d = g.shape[-1]
     if g.shape[:3] != (n, h, w):
         raise ValueError(f"g {g.shape} vs x {x.shape}")
+    if silu and a is None:
+        # the in-kernel SiLU recompute lives inside the affine branch; a
+        # silu-without-affine call would silently return the plain-conv
+        # wgrad (the gradient of the wrong function)
+        raise NotImplementedError(
+            "wgrad_conv3x3: silu=True requires the (a, b) affine; pass "
+            "a=ones, b=zeros for a bare-SiLU operand")
     wp = ((w + 2 + 7) // 8) * 8
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
     has_affine = a is not None
