@@ -83,3 +83,17 @@ def test_cli_mesh_and_remat_flags(clip_h5, tmp_path):
     ])
     # a milestone checkpoint landed (model-<step> + meta-<step>.json)
     assert any(d.startswith("model-") for d in os.listdir(wd)), os.listdir(wd)
+
+
+def test_bench_policy_parsing():
+    """Regression: after the tfused refactor, 'levels'/'mxu' were silently
+    remapped to 'blocks' — the bench timed the wrong program under the
+    right label. parse_policy must honor every policy string."""
+    import bench_video_train as bvt
+
+    assert bvt.parse_policy("off") == (False, False, "off")
+    assert bvt.parse_policy("blocks") == (False, True, "blocks")
+    assert bvt.parse_policy("levels") == (False, True, "levels")
+    assert bvt.parse_policy("mxu") == (False, True, "mxu")
+    assert bvt.parse_policy("tfused") == (True, False, "off")
+    assert bvt.parse_policy("tfused-blocks") == (True, True, "blocks")
