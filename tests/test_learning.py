@@ -112,6 +112,14 @@ def test_decode_frame_bright_backgrounds():
             np.testing.assert_allclose(st["ee_pos"][:2], ee[:2], atol=0.05)
             np.testing.assert_allclose(st["obj_pos"][:2], obj[:2], atol=0.05)
             assert abs(st["ee_pos"][2] - z) < 0.02, (task_idx, z)
+        # grasp overlap: the EE square fully inside the object square must
+        # still decode (both masks claim the shared pixels)
+        obj = np.asarray([0.0, 0.0, 0.46], np.float32)
+        ee = np.asarray([0.0, 0.0, 0.46], np.float32)
+        st = decode_frame(render_state(task_idx, ee, obj, 1.0, 5, (32, 32)))
+        np.testing.assert_allclose(st["ee_pos"][:2], ee[:2], atol=0.05)
+        np.testing.assert_allclose(st["obj_pos"][:2], obj[:2], atol=0.05)
+        assert st["gripper_closed"]
 
 
 @pytest.mark.slow

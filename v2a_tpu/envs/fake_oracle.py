@@ -33,11 +33,15 @@ def decode_frame(img: np.ndarray) -> Dict[str, np.ndarray]:
     """Recover (ee_pos, obj_pos, gripper_closed) from a fake-world render.
 
     Inverts `render_state`: the object is the green square (ch1 == 230); the
-    EE is the red square — the only place ch0 (the height-encoding shade)
-    differs from ch1 (still background there), which stays correct for every
-    task background `20 + 10*(task_idx % 16)` (an absolute ch0 threshold
-    collides with backgrounds >= 115, i.e. task_idx % 16 >= 10); the gripper
-    state is the blue top stripe. Works on uint8 or float [0,1] frames."""
+    EE is the red square — exactly the pixels with an ODD ch0, since the
+    rendered height shade is forced odd while every background
+    (`20 + 10*(task_idx % 16)`, even) leaves ch0 even. This stays correct
+    for bright backgrounds >= 115 (where an absolute ch0 threshold
+    classified the whole background as EE) AND when the EE square sits
+    entirely inside the object square during the grasp (where a
+    ch0-differs-from-ch1 rule loses every EE pixel to the ch1==230
+    exclusion). The gripper state is the blue top stripe. Works on uint8
+    or float [0,1] frames."""
     if img.dtype != np.uint8:
         img = (np.clip(np.asarray(img, np.float32), 0.0, 1.0) * 255.0).round()
         img = img.astype(np.uint8)
@@ -52,7 +56,7 @@ def decode_frame(img: np.ndarray) -> Dict[str, np.ndarray]:
         (img[..., 0] == 255) & (img[..., 1] == 255) & (img[..., 2] == 255)
     )
     obj_mask = (img[..., 1] == 230) & ~tick
-    ee_mask = (img[..., 0] != img[..., 1]) & (img[..., 1] != 230) & ~tick
+    ee_mask = (img[..., 0] % 2 == 1) & ~tick
     if not obj_mask.any() or not ee_mask.any():
         raise ValueError("frame does not contain both the EE and the object")
     ox, oy = from_px(*np.nonzero(obj_mask))
